@@ -1,0 +1,83 @@
+"""Joint denoise + detect network.
+
+Parity: `spr_pick/models/joint_network_v2.py:437-561` (JointNetwork,
+Detector).  ``dense`` selects per-pixel detector output (the reference's
+``fill()``); the param tree is identical in both modes so one set of weights
+serves training (per-crop logit) and dense whole-micrograph inference.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from spr_pick_tpu.models.resnet import LinearClassifier, ResNet8
+from spr_pick_tpu.models.unet import BlindspotUNet
+
+
+class Detector(nn.Module):
+    """BatchNorm(1ch) -> LinearClassifier(ResNet8(bn=True)).
+
+    Parity: joint_network_v2.py:543-561.
+    """
+
+    dense: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="input_bn"
+        )(x)
+        return LinearClassifier(
+            ResNet8(bn=True, dense=self.dense), name="classifier"
+        )(x, train)
+
+
+class JointNetwork(nn.Module):
+    """Blind-spot U-Net (mu | A) -> reparameterised sample -> detector.
+
+    forward returns ``(out_stats, detect_logits)``:
+      * out_stats: B,H,W,out_channels with [..., 0:in] = mu and the rest = A
+        (sigma_x = A**2), parity joint_network_v2.py:469-475,509-532.
+      * detect_logits: per-crop (train) or per-pixel (dense) detector logits.
+
+    The reparameterisation noise uses the flax RNG stream ``"sample"``
+    (explicit-key equivalent of ``torch.randn_like``, :473).
+    """
+
+    in_channels: int = 1
+    out_channels: int = 2
+    blindspot: bool = True
+    dense: bool = False
+    zero_output_weights: bool = False
+
+    @property
+    def input_wh_mul(self) -> int:
+        return 2 ** 5
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        out_stats = BlindspotUNet(
+            in_channels=self.in_channels,
+            out_channels=self.out_channels,
+            blindspot=self.blindspot,
+            levels=5,
+            zero_output_weights=self.zero_output_weights,
+            name="denoise_branch",
+        )(x)
+
+        mu_x = out_stats[..., 0 : self.in_channels]
+        a_c = out_stats[..., self.in_channels : self.out_channels]
+        sigma_x = a_c ** 2
+        # Sampling happens in eval too (the reference always reparameterises,
+        # joint_network_v2.py:469-475).
+        epsilon = jax.random.normal(self.make_rng("sample"), mu_x.shape, mu_x.dtype)
+        z = mu_x + epsilon * sigma_x
+
+        detect = Detector(dense=self.dense, name="detector")(z, train)
+        return out_stats, detect
