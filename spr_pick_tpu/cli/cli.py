@@ -1,0 +1,190 @@
+"""`joint` command line interface.
+
+Parity: `spr_pick/cli/cli.py`, `spr_pick/cli/cmds/{train,eval}.py` — the
+`joint train start|resume` and `joint eval` subcommands with the same flag
+surface (--algorithm, --noise_style, --noise_value, --alpha, --tau, --bb,
+--nms, --num, --iterations, batch/patch sizes, intervals, --dn_only,
+dataset/label/gt paths).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Dict, List, Optional
+
+from spr_pick_tpu import cfg as cfg_mod
+from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm, NoiseValue
+
+
+def _add_shared_args(parser: argparse.ArgumentParser, start: bool):
+    parser.add_argument("--train_dataset", "-t", required=start,
+                        help="Path to training dataset (TXT manifest / folder / h5).")
+    parser.add_argument("--alpha", "-ap", type=float, required=start,
+                        help="alpha value (denoise-vs-detect blend)")
+    parser.add_argument("--tau", type=float, required=start,
+                        help="tau for PU learning - expected fraction of positives")
+    parser.add_argument("--train_gt", "-gt", help="Path to ground truth dataset")
+    parser.add_argument("--train_label", "-l", required=start,
+                        help="Path to training coordinate labels")
+    parser.add_argument("--validation_dataset", "-v", help="Validation dataset path")
+    parser.add_argument("--validation_label", "-vl", help="Validation labels path")
+    parser.add_argument("--validation_gt", "-vgt", help="Validation ground truth path")
+    parser.add_argument("--iterations", "-iter", required=start, type=int,
+                        help="Number of training iterations")
+    parser.add_argument("--num", type=int, default=1,
+                        help="Number of eval samples during training")
+    parser.add_argument("--lr", type=float, help="learning rate")
+    parser.add_argument("--nms", type=int, help="non-maximum suppression radius")
+    parser.add_argument("--bb", type=int, help="bounding box radius of particles")
+    parser.add_argument("--eval_interval", type=int)
+    parser.add_argument("--checkpoint_interval", type=int)
+    parser.add_argument("--print_interval", type=int)
+    parser.add_argument("--train_batch_size", type=int)
+    parser.add_argument("--validation_batch_size", type=int)
+    parser.add_argument("--patch_size", type=int)
+    parser.add_argument("--seed", type=int, help="Base PRNG seed")
+    parser.add_argument("--mesh", type=int,
+                        help="Data-parallel mesh size (defaults to all local devices)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="joint", description="TPU-native joint cryo-EM denoising + picking"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    # --- train ---
+    train = sub.add_parser("train", help="Train or resume a model")
+    train_sub = train.add_subparsers(dest="train_cmd", required=True)
+
+    start = train_sub.add_parser("start", help="Start a new training run")
+    _add_shared_args(start, True)
+    start.add_argument(
+        "--algorithm", "-a", required=True,
+        choices=[a.value for a in NoiseAlgorithm],
+        help="The algorithm to train.",
+    )
+    start.add_argument(
+        "--noise_style", "-n", required=True,
+        help="Noise style: gauss{SD}[_{MAX}][_nc] or poisson{LAM}[_{MAX}][_nc]",
+    )
+    start.add_argument(
+        "--noise_value", choices=[v.value for v in NoiseValue],
+        help="Whether the noise sigma is known / const / var-estimated",
+    )
+    start.add_argument("--dn_only", action="store_true", help="denoising only")
+    start.add_argument("--runs_dir", default=cfg_mod.DEFAULT_RUN_DIR)
+
+    resume = train_sub.add_parser("resume", help="Resume a training run")
+    resume.add_argument("run_dir", help="Run directory to resume")
+    _add_shared_args(resume, False)
+
+    # --- eval ---
+    ev = sub.add_parser("eval", help="Evaluate a trained model")
+    ev.add_argument("--model", "-m", required=True, help=".training or .wt checkpoint")
+    ev.add_argument("--dataset", "-d", required=True, help="Eval dataset path")
+    ev.add_argument("--gt_dataset", "-gt", help="Clean ground-truth dataset path")
+    ev.add_argument("--labels", "-l", help="Eval coordinate labels (optional)")
+    ev.add_argument("--runs_dir", default=cfg_mod.DEFAULT_RUN_DIR)
+    ev.add_argument("--batch_size", type=int)
+    ev.add_argument("--nms", type=int)
+    ev.add_argument("--num", type=int)
+    return parser
+
+
+def _apply_shared(cfg: Dict, trainer, args: Dict):
+    if args.get("train_dataset") is not None:
+        trainer.set_train_data(args["train_dataset"])
+    if args.get("train_gt") is not None:
+        trainer.set_train_gt_data(args["train_gt"])
+    if args.get("train_label") is not None:
+        trainer.set_train_label(args["train_label"])
+    if args.get("validation_dataset") is not None:
+        trainer.set_test_data(args["validation_dataset"])
+    if args.get("validation_gt") is not None:
+        trainer.set_test_gt_data(args["validation_gt"])
+    if args.get("validation_label") is not None:
+        trainer.set_test_label(args["validation_label"])
+
+    mapping = {
+        "iterations": ConfigValue.ITERATIONS,
+        "num": ConfigValue.NUM_EVAL,
+        "eval_interval": ConfigValue.EVAL_INTERVAL,
+        "checkpoint_interval": ConfigValue.SNAPSHOT_INTERVAL,
+        "print_interval": ConfigValue.PRINT_INTERVAL,
+        "train_batch_size": ConfigValue.TRAIN_MINIBATCH_SIZE,
+        "validation_batch_size": ConfigValue.TEST_MINIBATCH_SIZE,
+        "patch_size": ConfigValue.TRAIN_PATCH_SIZE,
+        "alpha": ConfigValue.ALPHA,
+        "tau": ConfigValue.TAU,
+        "seed": ConfigValue.SEED,
+        "mesh": ConfigValue.MESH_SHAPE,
+    }
+    for arg, key in mapping.items():
+        if args.get(arg) is not None:
+            cfg[key] = args[arg]
+
+
+def run_train(args: Dict):
+    from spr_pick_tpu.train import DenoiserTrainer, resume_run
+
+    if args["train_cmd"] == "start":
+        if args["algorithm"] == "ssdn" and args.get("noise_value") is None:
+            print("error: SSDN requires --noise_value", file=sys.stderr)
+            sys.exit(2)
+        cfg = cfg_mod.base()
+        cfg[ConfigValue.ALGORITHM] = NoiseAlgorithm(args["algorithm"])
+        cfg[ConfigValue.NOISE_STYLE] = args["noise_style"]
+        if args.get("noise_value") is not None:
+            cfg[ConfigValue.NOISE_VALUE] = NoiseValue(args["noise_value"])
+        if args.get("lr") is not None:
+            cfg[ConfigValue.LEARNING_RATE] = args["lr"]
+        if args.get("bb") is not None:
+            cfg[ConfigValue.BB] = args["bb"]
+        if args.get("nms") is not None:
+            cfg[ConfigValue.NMS] = args["nms"]
+        if args["dn_only"]:
+            trainer = DenoiserTrainer(cfg, mode="denoise", runs_dir=args["runs_dir"])
+        else:
+            trainer = DenoiserTrainer(
+                cfg, mode="joint", alpha=args["alpha"], tau=args["tau"],
+                runs_dir=args["runs_dir"],
+            )
+    else:
+        trainer = resume_run(args["run_dir"])
+        cfg = trainer.cfg
+
+    _apply_shared(cfg, trainer, args)
+    trainer.train()
+
+
+def run_eval(args: Dict):
+    from spr_pick_tpu.eval import DenoiserEvaluator
+
+    evaluator = DenoiserEvaluator(args["model"], runs_dir=args["runs_dir"])
+    evaluator.set_test_data(args["dataset"])
+    if args.get("labels") is not None:
+        evaluator.set_test_label(args["labels"])
+    if args.get("gt_dataset") is not None:
+        evaluator.set_test_gt_data(args["gt_dataset"])
+    if args.get("batch_size") is not None:
+        evaluator.cfg[ConfigValue.TEST_MINIBATCH_SIZE] = args["batch_size"]
+    if args.get("nms") is not None:
+        evaluator.cfg[ConfigValue.NMS] = args["nms"]
+    if args.get("num") is not None:
+        evaluator.cfg[ConfigValue.NUM_EVAL] = args["num"]
+    evaluator.evaluate()
+
+
+def start(argv: Optional[List[str]] = None):
+    parser = build_parser()
+    args = vars(parser.parse_args(argv))
+    if args["command"] == "train":
+        run_train(args)
+    elif args["command"] == "eval":
+        run_eval(args)
+
+
+if __name__ == "__main__":
+    start()

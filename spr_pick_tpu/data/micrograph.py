@@ -1,0 +1,339 @@
+"""Micrograph dataset + TPU-native device data plane.
+
+Parity: `spr_pick/datasets/micrograph.py` (manifest/dir loading, coordinate
+matching, mask/heatmap construction, train patch extraction, test
+whole-image access) and `spr_pick/datasets/image_wrapper.py` (pad-to-multiple
+reflection padding, unpad).
+
+TPU-first redesign (SURVEY.md §7.1 "Data plane"): instead of per-item PIL
+crops in CPU worker processes, the micrograph stack and heatmaps are pinned
+once in HBM and the per-step patch batch is an on-device gather
+(`jax.vmap(lax.dynamic_slice)`) driven by the sampler's packed indices —
+the training input pipeline costs one small host->device transfer of B int32
+triples per step.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from spr_pick_tpu.data import files as file_utils
+from spr_pick_tpu.data.loader import load_image, load_images_from_list
+from spr_pick_tpu.data.sampler import unpack_index
+from spr_pick_tpu.ops.heatmap import as_gaussian, as_mask
+
+IMAGE_EXTS = (".mrc", ".tiff", ".png")
+
+
+def _image_table(path: str, image_ext: str = "") -> pd.DataFrame:
+    """Manifest TSV or directory -> DataFrame(image_name, path).
+
+    Parity: micrograph.py:217-229.
+    """
+    if os.path.isdir(path):
+        paths = glob.glob(path + os.sep + "*" + image_ext)
+        names, valid = [], []
+        for p in paths:
+            name, ext = os.path.splitext(os.path.basename(p))
+            if ext in IMAGE_EXTS:
+                names.append(name)
+                valid.append(p)
+        return pd.DataFrame({"image_name": names, "path": valid})
+    return pd.read_csv(path, sep="\t")
+
+
+def pad_to_multiple(img: np.ndarray, multiple: int) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Reflection-pad H,W (trailing sides) up to a multiple.
+
+    Parity: image_wrapper.py:221-249 (left/top 0, right/bottom padded).
+    Returns (padded, original_shape).
+    """
+    h, w = img.shape[:2]
+    ph = (h + multiple - 1) // multiple * multiple
+    pw = (w + multiple - 1) // multiple * multiple
+    if ph == h and pw == w:
+        return img, (h, w)
+    pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (img.ndim - 2)
+    return np.pad(img, pad, mode="reflect"), (h, w)
+
+
+def unpad(img: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
+    """Crop back to the original (H, W).  Parity: image_wrapper.py:251-276."""
+    return img[: shape[0], : shape[1]]
+
+
+class MicrographDataset:
+    """Loads micrographs + particle coordinates; builds masks and heatmaps.
+
+    Parity: micrograph.py:26-299.  Images are float32 numpy in [0,1] (MRC
+    min-max-quantised, see data/loader.py).  Structure: nested lists indexed
+    [group][image].
+    """
+
+    def __init__(
+        self,
+        image_path: str,
+        coordinate_path: Optional[str],
+        radius: int = 3,
+        train: bool = True,
+        crop: int = 72,
+        gt_path: Optional[str] = None,
+        bb: int = 32,
+        verbose: bool = True,
+    ):
+        self.image_path = image_path
+        self.coordinate_path = coordinate_path
+        self.radius = radius
+        self.train = train
+        self.crop = crop
+        self.gt_path = gt_path
+        self.bb = bb
+        self.verbose = verbose
+        self._load()
+
+    # -- loading -------------------------------------------------------
+
+    def _load(self):
+        train_images = _image_table(self.image_path)
+        gt_images = _image_table(self.gt_path) if self.gt_path else None
+
+        targets = file_utils.read_coordinates(self.coordinate_path) if self.coordinate_path else pd.DataFrame(columns=["image_name", "x_coord", "y_coord"])
+        if "source" not in train_images and "source" not in targets:
+            train_images["source"] = 0
+            targets["source"] = 0
+            if gt_images is not None:
+                gt_images["source"] = 0
+
+        images = load_images_from_list(
+            train_images.image_name, train_images.path, sources=train_images.source
+        )
+        gts = (
+            load_images_from_list(
+                gt_images.image_name, gt_images.path, sources=gt_images.source
+            )
+            if gt_images is not None
+            else None
+        )
+
+        # Filter coordinates with no matching image (micrograph.py:260-272).
+        names = {n for d in images.values() for n in d.keys()}
+        keep = targets.image_name.apply(lambda x: x in names)
+        targets = targets.loc[keep]
+
+        # Sanity warnings (micrograph.py:274-291).
+        width = max((im.shape[1] for d in images.values() for im in d.values()), default=0)
+        height = max((im.shape[0] for d in images.values() for im in d.values()), default=0)
+        if len(targets):
+            oob = ((targets.x_coord > width) | (targets.y_coord > height)).sum()
+            if oob > int(0.1 * len(targets)):
+                print(
+                    f"WARNING: {oob} particle coordinates are out of the micrograph "
+                    "dimensions. Did you scale the micrographs and particle "
+                    "coordinates correctly?",
+                    file=sys.stderr,
+                )
+            if (
+                targets.x_coord.max() < 0.7 * width
+                and targets.y_coord.max() < 0.7 * height
+            ):
+                print(
+                    "WARNING: no coordinates are observed near the right/bottom "
+                    "borders. Did you scale the micrographs and particle "
+                    "coordinates correctly?",
+                    file=sys.stderr,
+                )
+
+        # Per-image coordinate dict.
+        coord_map: Dict = {}
+        for (source, name), df in targets.groupby(["source", "image_name"]):
+            coord_map.setdefault(source, {})[name] = df[
+                ["x_coord", "y_coord"]
+            ].values.astype(np.int32)
+        null_xy = np.zeros((0, 2), dtype=np.int32)
+
+        self.images: List[List[np.ndarray]] = []
+        self.targets: List[List[np.ndarray]] = []
+        self.hms: List[List[np.ndarray]] = []
+        self.hms_small: List[List[np.ndarray]] = []
+        self.gts: List[List[np.ndarray]] = []
+        self.names: List[List[str]] = []
+        self.coords: List[List[np.ndarray]] = []
+
+        for source in images.keys():
+            g_imgs, g_tgts, g_hms, g_hms_s, g_gts, g_names, g_xy = (
+                [], [], [], [], [], [], [],
+            )
+            for name, im in images[source].items():
+                xy = coord_map.get(source, {}).get(name, null_xy)
+                shape = im.shape[:2]
+                shape_small = (shape[0] // 2, shape[1] // 2)
+                radii = np.full(len(xy), self.radius, dtype=np.int32)
+                g_imgs.append(im)
+                g_tgts.append(as_mask(shape, xy[:, 0], xy[:, 1], radii))
+                g_hms.append(as_gaussian(shape, xy[:, 0], xy[:, 1], bb=self.bb))
+                g_hms_s.append(
+                    as_gaussian(
+                        shape_small, xy[:, 0] // 2, xy[:, 1] // 2, bb=self.bb // 2
+                    )
+                )
+                if gts is not None:
+                    g_gts.append(gts[source][name])
+                g_names.append(name)
+                g_xy.append(xy)
+            self.images.append(g_imgs)
+            self.targets.append(g_tgts)
+            self.hms.append(g_hms)
+            self.hms_small.append(g_hms_s)
+            if gts is not None:
+                self.gts.append(g_gts)
+            self.names.append(g_names)
+            self.coords.append(g_xy)
+
+        self.num_images = sum(len(g) for g in self.images)
+        self.num_positive_regions, self.total_regions = self._report_stats()
+
+    def _report_stats(self):
+        """p_observed stats print (micrograph.py:197-210)."""
+        if self.verbose:
+            print("source\tsplit\tp_observed\tnum_positive_regions\ttotal_regions")
+        num_pos = total = 0
+        for i, group in enumerate(self.targets):
+            p = int(sum(t.sum() for t in group))
+            tot = sum(t.size for t in group)
+            num_pos += p
+            total += tot
+            if self.verbose:
+                print(f"{i}\ttrain\t{p / max(tot, 1):.3g}\t{p}\t{tot}")
+        return num_pos, total
+
+    def __len__(self):
+        return self.num_images
+
+    # -- host access ---------------------------------------------------
+
+    def train_item(self, packed_index: int):
+        """Decode packed index -> centred crop + centre label.
+
+        Parity: micrograph.py:60-122 (host fallback path; the fast path is
+        DevicePatchPipeline below).
+        """
+        g, i, coord = unpack_index(packed_index)
+        g, i, coord = int(g), int(i), int(coord)
+        img = self.images[g][i]
+        hm = self.hms[g][i]
+        w = img.shape[1]
+        x, y = coord % w, coord // w
+        half = self.crop // 2
+        x0, y0 = x - half, y - half
+        patch = _crop_zero_pad(img, x0, y0, self.crop)
+        label = float(hm.ravel()[coord])
+        return patch, label, self.names[g][i]
+
+    def test_item(self, index: int, pad_multiple: int = 32):
+        """Whole padded micrograph + metadata (micrograph.py:128-164)."""
+        img = self.images[0][index]
+        hm = self.hms[0][index]
+        padded, shape = pad_to_multiple(img, pad_multiple)
+        hm_p, _ = pad_to_multiple(hm, pad_multiple)
+        gt = None
+        if self.gts:
+            gt = self.gts[0][index]
+        return {
+            "inp": padded[None, :, :, None],
+            "hm": hm_p[None, :, :, None],
+            "image_shape": shape,
+            "name": self.names[0][index],
+            "gt": gt,
+            "target": self.targets[0][index],
+        }
+
+
+def _crop_zero_pad(img: np.ndarray, x0: int, y0: int, size: int) -> np.ndarray:
+    """Crop with zero fill outside bounds (PIL .crop semantics)."""
+    h, w = img.shape[:2]
+    out = np.zeros((size, size), dtype=img.dtype)
+    sx0, sy0 = max(0, x0), max(0, y0)
+    sx1, sy1 = min(w, x0 + size), min(h, y0 + size)
+    if sx1 > sx0 and sy1 > sy0:
+        out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = img[sy0:sy1, sx0:sx1]
+    return out
+
+
+class DevicePatchPipeline:
+    """HBM-resident patch gather: the training data plane.
+
+    All micrographs (and heatmaps) are stacked into (N, H, W) arrays, put on
+    device once, and each train batch is produced by a jitted
+    ``vmap(dynamic_slice)`` gather keyed by (flat_image, y, x) int32 triples
+    decoded from the sampler's packed indices.  A per-batch random flip
+    augment (image + label jointly, fixing the reference's independent-flip
+    quirk at micrograph.py:107-111) runs in the same fused program.
+    """
+
+    def __init__(self, dataset: MicrographDataset, crop: int, augment: bool = True):
+        self.crop = crop
+        self.augment = augment
+
+        flat_images, flat_hms = [], []
+        self.flat_of: Dict[Tuple[int, int], int] = {}
+        for g, group in enumerate(dataset.images):
+            for i, img in enumerate(group):
+                self.flat_of[(g, i)] = len(flat_images)
+                flat_images.append(img)
+                flat_hms.append(dataset.hms[g][i])
+
+        hmax = max(im.shape[0] for im in flat_images)
+        wmax = max(im.shape[1] for im in flat_images)
+        stack = np.zeros((len(flat_images), hmax, wmax), np.float32)
+        hm_stack = np.full((len(flat_images), hmax, wmax), -1.0, np.float32)
+        self.widths = np.array([im.shape[1] for im in flat_images], np.int32)
+        for n, (im, hm) in enumerate(zip(flat_images, flat_hms)):
+            stack[n, : im.shape[0], : im.shape[1]] = im
+            hm_stack[n, : hm.shape[0], : hm.shape[1]] = hm
+
+        self.images_dev = jax.device_put(stack)
+        self.hms_dev = jax.device_put(hm_stack)
+
+        crop_sz = self.crop
+
+        @partial(jax.jit, static_argnames=())
+        def gather(images, hms, flat_idx, ys, xs, flip_bits):
+            def one(n, y, x, flip):
+                half = crop_sz // 2
+                patch = jax.lax.dynamic_slice(
+                    images[n], (y - half, x - half), (crop_sz, crop_sz)
+                )
+                patch = jnp.where(flip > 0, jnp.flip(patch, axis=1), patch)
+                label = hms[n, y, x]
+                return patch, label
+
+            patches, labels = jax.vmap(one)(flat_idx, ys, xs, flip_bits)
+            return patches[..., None], labels
+
+        self._gather = gather
+        self._np_rng = np.random.RandomState(0)
+
+    def batch(self, packed_indices: np.ndarray) -> Dict[str, jnp.ndarray]:
+        g, i, coord = unpack_index(packed_indices)
+        flat = np.array(
+            [self.flat_of[(int(gg), int(ii))] for gg, ii in zip(g, i)], np.int32
+        )
+        w = self.widths[flat]
+        xs = (coord % w).astype(np.int32)
+        ys = (coord // w).astype(np.int32)
+        flips = (
+            self._np_rng.rand(len(flat)) < 0.5
+        ).astype(np.int32) if self.augment else np.zeros(len(flat), np.int32)
+        inp, target = self._gather(
+            self.images_dev, self.hms_dev, flat, ys, xs, flips
+        )
+        return {"inp": inp, "target": target}

@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers: batch data parallelism over ICI.
+
+The reference's only parallelism is a never-enabled `nn.DataParallel` wrap
+(denoiser_v2.py:170-178; SURVEY.md §2.7).  The TPU-native replacement is the
+standard JAX recipe: a 1-D `Mesh` over the local chips, parameters
+replicated, the batch sharded along its leading axis — `jax.jit` then
+partitions the whole train step and inserts the gradient all-reduce over ICI
+automatically (computation follows data; no pmap, no hand-written
+collectives).
+
+At this model size (~2-3M params) pure data parallelism is optimal: the
+psum of ~10 MB of grads per step is negligible against the conv FLOPs.
+Spatial (halo-tiled) sharding for giant-micrograph inference lives in
+parallel/tiling.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    axis: str = DATA_AXIS,
+) -> Mesh:
+    """1-D data-parallel mesh over `n_devices` (default: all local)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    """Place a batch pytree with the leading dim sharded over the mesh."""
+    def _put(x):
+        spec = P(axis) if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params / optimizer state / rng) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

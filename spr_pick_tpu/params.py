@@ -110,6 +110,14 @@ class HistoryValue(Enum):
 
 
 class PipelineOutput(Enum):
+    """Pipeline output keys.  Totally ordered by name so dicts keyed by this
+    enum are valid JAX pytrees (jit sorts dictionary keys)."""
+
+    def __lt__(self, other):
+        if isinstance(other, PipelineOutput):
+            return self.name < other.name
+        return NotImplemented
+
     INPUTS = auto()
     LOSS = "loss"
     DETECT_LOSS = "det_loss"

@@ -1,0 +1,117 @@
+"""Jit-compiled train / eval step factories.
+
+The reference's hot loop (train.py:282-362: zero_grad / run_pipeline /
+backward / step) becomes ONE pure function
+``train_step(state, batch, rng, lr) -> (state, metrics)`` that XLA compiles
+end-to-end: both forwards (flip-TTA), all losses, Adam update and BN running
+stats in a single fused program.  Data parallelism falls out of jit +
+sharding annotations (see spr_pick_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from spr_pick_tpu.denoiser import Denoiser
+from spr_pick_tpu.params import PipelineOutput
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    trainable: Any  # {'model': params, 'sigma': params?, 'l_params': {...}?}
+    static: Any     # {'model': batch_stats?, 'sigma': batch_stats?}
+    opt_state: Any
+
+
+def make_optimizer() -> optax.GradientTransformation:
+    # Adam with reduced beta2, parity with train.py:140
+    # (optim.Adam(betas=[0.9, 0.99])); lr applied separately per step so the
+    # cosine ramp (train.py:430-442) stays outside the optimizer state.
+    return optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-8)
+
+
+def init_state(denoiser: Denoiser, seed: int = 0, patch: int = 64) -> TrainState:
+    variables = denoiser.init_variables(seed=seed, patch=patch)
+    trainable, static = Denoiser.split_trainable(variables)
+    tx = make_optimizer()
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=trainable,
+        static=static,
+        opt_state=tx.init(trainable),
+    )
+
+
+def make_train_step(denoiser: Denoiser, alpha: float, tau: float):
+    """Build the jitted joint/denoise training step."""
+    tx = make_optimizer()
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array, lr: jnp.ndarray):
+        def loss_fn(trainable):
+            loss, (outputs, bn_updates) = denoiser.run_pipeline(
+                trainable, state.static, batch, rng, alpha, tau, train=True
+            )
+            return loss, (outputs, bn_updates)
+
+        (loss, (outputs, bn_updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.trainable)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        trainable = optax.apply_updates(state.trainable, updates)
+
+        static = state.static
+        if bn_updates is not None:
+            static = dict(static)
+            static["model"] = bn_updates
+
+        metrics = {
+            "loss": outputs[PipelineOutput.LOSS],
+        }
+        for key in (
+            PipelineOutput.DENOISE_LOSS,
+            PipelineOutput.DETECT_LOSS,
+            PipelineOutput.AUG_LOSS,
+        ):
+            if key in outputs:
+                metrics[key.value] = outputs[key]
+        if PipelineOutput.NOISE_STD_DEV in outputs:
+            metrics[PipelineOutput.NOISE_STD_DEV.value] = jnp.mean(
+                outputs[PipelineOutput.NOISE_STD_DEV]
+            )
+        if PipelineOutput.MODEL_STD_DEV in outputs:
+            metrics[PipelineOutput.MODEL_STD_DEV.value] = jnp.mean(
+                outputs[PipelineOutput.MODEL_STD_DEV]
+            )
+
+        new_state = TrainState(
+            step=state.step + 1,
+            trainable=trainable,
+            static=static,
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(denoiser: Denoiser, dense: bool = True):
+    """Build the jitted dense-inference eval step (no grads, no BN update).
+
+    Equivalent of denoiser.eval(); denoiser.fill() + run_pipeline(train=False)
+    at train.py:383-399.
+    """
+
+    def eval_step(state: TrainState, batch: Dict, rng: jax.Array):
+        _, (outputs, _) = denoiser.run_pipeline(
+            state.trainable, state.static, batch, rng, train=False, dense=dense
+        )
+        return outputs
+
+    return jax.jit(eval_step)

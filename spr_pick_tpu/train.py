@@ -1,0 +1,691 @@
+"""Training orchestration: run dirs, hot loop, intervals, snapshots, eval.
+
+Parity: `spr_pick/train.py` (DenoiserTrainer / resume_run) with a
+TPU-native hot loop: the per-iteration work is ONE jitted ``train_step``
+over device-resident data (no CPU worker processes, no host<->device
+round-trips besides B int32 sampler triples), while intervals, metrics,
+snapshots and artifact dumps stay on host exactly like the reference
+(eval/print/snapshot every N samples, `[iters] TRAIN | ... [ETA]` lines,
+`model_{iter:08d}.training` snapshots, per-eval PNG + `_scores.txt` dumps).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import time
+from collections import defaultdict
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import spr_pick_tpu
+from spr_pick_tpu import cfg as cfg_mod
+from spr_pick_tpu.data.micrograph import (
+    DevicePatchPipeline,
+    MicrographDataset,
+    unpad,
+)
+from spr_pick_tpu.data.sampler import FixedLengthSampler, StratifiedCoordinateSampler
+from spr_pick_tpu.denoiser import Denoiser
+from spr_pick_tpu.ops.nms import nms_to_host
+from spr_pick_tpu.params import (
+    ConfigValue,
+    DatasetType,
+    HistoryValue,
+    NoiseValue,
+    Pipeline,
+    PipelineOutput,
+    StateValue,
+)
+from spr_pick_tpu.steps import TrainState, init_state, make_eval_step, make_train_step
+from spr_pick_tpu.utils import checkpoint as ckpt
+from spr_pick_tpu.utils.image_io import ScalarWriter, save_array_image
+from spr_pick_tpu.utils.logging_helper import setup as setup_logging
+from spr_pick_tpu.utils.metrics import (
+    Metric,
+    MetricDict,
+    TrackedTime,
+    calculate_psnr,
+    seconds_to_dhms,
+    separator,
+)
+from spr_pick_tpu.utils.schedule import compute_ramped_lrate
+
+logger = logging.getLogger("train")
+
+DEFAULT_RUN_DIR = cfg_mod.DEFAULT_RUN_DIR
+
+
+class DenoiserTrainer:
+    """Owns a Denoiser engine, its TrainState, data pipelines and run dir."""
+
+    def __init__(
+        self,
+        cfg: Optional[Dict],
+        mode: str = "joint",
+        alpha: float = 0.8,
+        tau: float = 0.01,
+        runs_dir: str = DEFAULT_RUN_DIR,
+        run_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        if self.cfg:
+            cfg_mod.infer(self.cfg)
+        self.runs_dir = runs_dir
+        self._run_dir = run_dir
+        self.mode = mode
+        self.alpha = alpha
+        self.tau = tau
+
+        self.state: Dict = {}
+        self.init_state()
+
+        self.denoiser: Optional[Denoiser] = None
+        self.train_state: Optional[TrainState] = None
+        self._train_step = None
+        self._eval_step = None
+        self._writer: Optional[ScalarWriter] = None
+        self._rng_key = None
+
+        self.trainset: Optional[MicrographDataset] = None
+        self.patch_pipeline: Optional[DevicePatchPipeline] = None
+        self.train_sampler = None
+        self.testset: Optional[MicrographDataset] = None
+        self.test_sampler = None
+
+    # ------------------------------------------------------------------
+    # State management
+    # ------------------------------------------------------------------
+
+    def init_state(self):
+        self.state[StateValue.INITIALISED] = True
+        self.state[StateValue.ITERATION] = 0
+        self.state[StateValue.HISTORY] = {
+            HistoryValue.TRAIN: MetricDict(),
+            HistoryValue.EVAL: MetricDict(),
+            HistoryValue.TIMINGS: defaultdict(TrackedTime),
+        }
+        self.reset_metrics()
+
+    def new_target(self):
+        """Fresh Denoiser + TrainState (train.py:142-146)."""
+        self.denoiser = Denoiser(self.cfg, mode=self.mode)
+        seed = int(self.cfg.get(ConfigValue.SEED, 0))
+        self.train_state = init_state(
+            self.denoiser, seed=seed, patch=self.cfg[ConfigValue.TRAIN_PATCH_SIZE]
+        )
+        self._rng_key = jax.random.PRNGKey(seed + 1)
+        self._train_step = None
+        self._eval_step = None
+        self.init_state()
+
+    def _next_rng(self):
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        return sub
+
+    @property
+    def iteration(self) -> int:
+        return self.state[StateValue.ITERATION]
+
+    # ------------------------------------------------------------------
+    # Learning rate (parity with call site train.py:430-442)
+    # ------------------------------------------------------------------
+
+    @property
+    def learning_rate(self) -> float:
+        return compute_ramped_lrate(
+            self.state[StateValue.ITERATION],
+            self.cfg[ConfigValue.ITERATIONS],
+            self.cfg[ConfigValue.LR_RAMPDOWN_FRACTION],
+            self.cfg[ConfigValue.LR_RAMPUP_FRACTION],
+            1e-4,
+        )
+
+    # ------------------------------------------------------------------
+    # Data
+    # ------------------------------------------------------------------
+
+    def train_data(self):
+        """Build training dataset + sampler + device patch pipeline.
+
+        Parity: train.py:1018-1095 (TXT micrograph path; folder/hdf5 paths
+        are served by spr_pick_tpu.data.folder / hdf5 wrappers).
+        """
+        cfg = self.cfg
+        dtype = cfg[ConfigValue.TRAIN_DATASET_TYPE]
+        if dtype != DatasetType.TXT:
+            raise NotImplementedError(
+                "Training currently requires a TXT manifest dataset "
+                "(micrographs + coordinates); folder/hdf5 are eval-only."
+            )
+        dataset = MicrographDataset(
+            cfg[ConfigValue.TRAIN_DATA_PATH],
+            cfg[ConfigValue.TRAIN_LABEL_PATH],
+            radius=3,
+            train=True,
+            crop=cfg[ConfigValue.TRAIN_PATCH_SIZE],
+            gt_path=cfg[ConfigValue.TRAIN_GT_PATH],
+            bb=cfg[ConfigValue.BB],
+        )
+        sampler = StratifiedCoordinateSampler(
+            [g for g in dataset.targets],
+            balance=0.1,
+            size=cfg[ConfigValue.ITERATIONS] * cfg[ConfigValue.TRAIN_MINIBATCH_SIZE],
+        )
+        pipeline = DevicePatchPipeline(
+            dataset, crop=cfg[ConfigValue.TRAIN_PATCH_SIZE], augment=True
+        )
+        return dataset, sampler, pipeline
+
+    def test_data(self):
+        """Validation dataset (whole micrographs).  Parity: train.py:1119-1195."""
+        cfg = self.cfg
+        dataset = MicrographDataset(
+            cfg[ConfigValue.TEST_DATA_PATH],
+            cfg[ConfigValue.TEST_LABEL_PATH],
+            radius=3,
+            train=False,
+            gt_path=cfg[ConfigValue.TEST_GT_PATH],
+            bb=cfg[ConfigValue.BB],
+        )
+        sampler = FixedLengthSampler(
+            len(dataset), num_samples=cfg_mod.test_length(cfg), shuffled=False
+        )
+        return dataset, sampler
+
+    def set_train_data(self, path: str):
+        self.cfg[ConfigValue.TRAIN_DATA_PATH] = path
+        self.cfg[ConfigValue.TRAIN_DATASET_TYPE] = None
+        cfg_mod.infer_datasets(self.cfg)
+
+    def set_train_label(self, path: str):
+        self.cfg[ConfigValue.TRAIN_LABEL_PATH] = path
+
+    def set_train_gt_data(self, path: str):
+        self.cfg[ConfigValue.TRAIN_GT_PATH] = path
+
+    def set_test_data(self, path: str):
+        self.cfg[ConfigValue.TEST_DATA_PATH] = path
+        self.cfg[ConfigValue.TEST_DATASET_TYPE] = None
+        cfg_mod.infer_datasets(self.cfg)
+
+    def set_test_label(self, path: str):
+        self.cfg[ConfigValue.TEST_LABEL_PATH] = path
+
+    def set_test_gt_data(self, path: str):
+        self.cfg[ConfigValue.TEST_GT_PATH] = path
+
+    # ------------------------------------------------------------------
+    # Training loop
+    # ------------------------------------------------------------------
+
+    def train(self):
+        if self.denoiser is None:
+            self.new_target()
+        _ = self.writer
+        setup_logging(self.run_dir_path, "log.txt")
+        logger.info(separator())
+        logger.info("Loading Training Dataset...")
+        self.trainset, self.train_sampler, self.patch_pipeline = self.train_data()
+        logger.info("Loaded Training Dataset.")
+        if self.cfg[ConfigValue.TEST_DATA_PATH]:
+            logger.info("Loading Validation Dataset...")
+            self.testset, self.test_sampler = self.test_data()
+            logger.info("Loaded Validation Dataset.")
+
+        logger.info(separator())
+        logger.info("TRAINING STARTED")
+        logger.info(separator())
+
+        if self._train_step is None:
+            self._train_step = make_train_step(self.denoiser, self.alpha, self.tau)
+
+        history = self.state[StateValue.HISTORY]
+        train_history = history[HistoryValue.TRAIN]
+        batch_size = self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE]
+
+        while True:
+            iteration = self.state[StateValue.ITERATION]
+
+            if (
+                iteration % self.cfg[ConfigValue.EVAL_INTERVAL] == 0
+                and self.testset is not None
+            ):
+                self._evaluate(output_callback=self.validation_output_callback(0))
+            if iteration % self.cfg[ConfigValue.PRINT_INTERVAL] == 0:
+                history[HistoryValue.TIMINGS]["total"].update()
+                last_print = history[HistoryValue.TIMINGS]["last_print"]
+                last_print.update()
+                samples = (
+                    history[HistoryValue.EVAL]["n"] + history[HistoryValue.TRAIN]["n"]
+                )
+                self.update_eta(samples, last_print.total)
+                logger.info(self.state_str(eval_prefix="VALID"))
+                self.write_metrics(eval_prefix="valid")
+                last_print.total = 0
+                self.reset_metrics()
+            if iteration % self.cfg[ConfigValue.SNAPSHOT_INTERVAL] == 0:
+                self.snapshot()
+
+            if iteration >= self.cfg[ConfigValue.ITERATIONS]:
+                break
+
+            indices = self.train_sampler.sample_batch(batch_size)
+            batch = self.patch_pipeline.batch(indices)
+            lr = jnp.float32(self.learning_rate)
+            self.train_state, metrics = self._train_step(
+                self.train_state, batch, self._next_rng(), lr
+            )
+
+            train_history["n"] += batch_size
+            train_history["loss"] += np.asarray(metrics["loss"])
+            for key in ("denoise_loss", "det_loss", "aug_loss"):
+                if key in metrics:
+                    train_history[key] += np.asarray(metrics[key]).reshape(1)
+            for key in (
+                PipelineOutput.NOISE_STD_DEV.value,
+                PipelineOutput.MODEL_STD_DEV.value,
+            ):
+                if key in metrics:
+                    train_history[key] += np.asarray(metrics[key]).reshape(1) * 255
+
+            self.state[StateValue.ITERATION] += batch_size
+
+        logger.info(separator())
+        logger.info("TRAINING FINISHED")
+        logger.info(separator())
+
+        self.snapshot()
+        self.snapshot(
+            output_name="final-{}.wt".format(self.config_name()),
+            subdir="",
+            model_only=True,
+        )
+
+    # ------------------------------------------------------------------
+    # Evaluation (dense inference over whole micrographs)
+    # ------------------------------------------------------------------
+
+    def _evaluate(self, output_callback: Optional[Callable] = None):
+        """Dense eval pass (train.py:383-414): per test micrograph run the
+        filled/dense model, accumulate PSNR when gt is present, and hand
+        outputs to the artifact callback."""
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.denoiser, dense=True)
+        eval_history = self.state[StateValue.HISTORY][HistoryValue.EVAL]
+        idx = 0
+        for index in iter(self.test_sampler):
+            item = self.testset.test_item(index, pad_multiple=32)
+            batch = {"inp": jnp.asarray(item["inp"])}
+            outputs = self._eval_step(self.train_state, batch, self._next_rng())
+            eval_history["n"] += 1
+            if item["gt"] is not None:
+                shape = item["image_shape"]
+                for key, name in self.img_outputs(prefix="psnr").items():
+                    img = unpad(np.asarray(outputs[key])[0, :, :, 0], shape)
+                    gt = np.asarray(item["gt"])[: shape[0], : shape[1]]
+                    eval_history[name] += calculate_psnr(img[None], gt[None])
+            if output_callback:
+                output_callback(idx, outputs, item)
+            idx += 1
+
+    def validation_output_callback(self, output_index: int):
+        def callback(idx: int, outputs: Dict, item: Dict):
+            if idx == output_index:
+                output_dir = os.path.join(self.run_dir_path, "val_imgs_" + self.mode)
+                fileformat = "{name}_{iter:08}_{desc}.png"
+                scoreformat = "{name}_{iter:08}_{desc}.txt"
+                self.save_image_outputs(
+                    outputs, item, output_dir, fileformat, scoreformat
+                )
+
+        return callback
+
+    def img_outputs(self, prefix: str = None) -> Dict:
+        outputs = {PipelineOutput.IMG_DENOISED: "out"}
+        if self.cfg[ConfigValue.PIPELINE] == Pipeline.SSDN:
+            outputs[PipelineOutput.IMG_MU] = "mu_out"
+        if prefix:
+            outputs = {k: f"{prefix}_{v}" for k, v in outputs.items()}
+        return outputs
+
+    def save_image_outputs(
+        self, outputs: Dict, item: Dict, output_dir: str, fileformat: str,
+        scoreformat: str = None,
+    ):
+        """Artifact dumps: nsy/out/out-mu/out-std PNGs + NMS `_scores.txt`.
+
+        Parity: train.py:500-599 (file naming, TSV schema
+        `image_name\\tx_coord\\ty_coord\\tscore`, 30 px border filter,
+        heatmap floor 0.02).
+        """
+        os.makedirs(output_dir, exist_ok=True)
+        name = item["name"]
+        shape = item["image_shape"]
+        it = self.state[StateValue.ITERATION]
+
+        def path_for(desc, fmt):
+            return os.path.join(
+                output_dir, fmt.format(name=name, iter=it, desc=desc)
+            )
+
+        def unpad_save(arr, desc):
+            img = unpad(np.asarray(arr)[0, :, :, 0], shape)
+            save_array_image(img, path_for(desc, fileformat))
+
+        unpad_save(item["inp"], "nsy")
+        if PipelineOutput.IMG_DENOISED in outputs:
+            unpad_save(outputs[PipelineOutput.IMG_DENOISED], "out")
+        if PipelineOutput.IMG_MU in outputs:
+            unpad_save(outputs[PipelineOutput.IMG_MU], "out-mu")
+        if PipelineOutput.MODEL_STD_DEV in outputs:
+            unpad_save(outputs[PipelineOutput.MODEL_STD_DEV], "out-std")
+        if PipelineOutput.DETECT in outputs and scoreformat is not None:
+            unpad_save(outputs[PipelineOutput.DETECT], "pred_tar")
+            heatmap = unpad(
+                np.asarray(outputs[PipelineOutput.DETECT])[0, :, :, 0], shape
+            )
+            self.write_scores(
+                heatmap, name, path_for("scores", scoreformat)
+            )
+
+    def write_scores(self, heatmap: np.ndarray, name: str, out_path: str):
+        """On-device NMS -> `_scores.txt` rows with the 30 px border filter.
+
+        Parity: train.py:557-571 (including the row/col output order:
+        columns are named x_coord/y_coord but the reference writes
+        (coords[:,1], coords[:,0]) = (row, col); preserved for downstream
+        compatibility with convert_to_star).
+        """
+        scores, coords = nms_to_host(
+            heatmap,
+            int(self.cfg[ConfigValue.NMS]),
+            threshold=0.02,
+            max_peaks=int(self.cfg.get(ConfigValue.MAX_PEAKS, 2048)),
+        )
+        x_max, y_max = heatmap.shape[0] - 30, heatmap.shape[1] - 30
+        with open(out_path, "w") as f:
+            print("image_name\tx_coord\ty_coord\tscore", file=f)
+            for i in range(len(scores)):
+                if (
+                    30 < coords[i, 1] < x_max
+                    and 30 < coords[i, 0] < y_max
+                ):
+                    print(
+                        f"{name}\t{coords[i, 1]}\t{coords[i, 0]}\t{scores[i]}",
+                        file=f,
+                    )
+
+    # ------------------------------------------------------------------
+    # Snapshots / resume
+    # ------------------------------------------------------------------
+
+    def snapshot(self, output_name: str = None, subdir: str = None,
+                 model_only: bool = False):
+        """Parity: train.py:603-636."""
+        if subdir is None and self.mode == "joint":
+            subdir = "model_jt" if model_only else "training_jt"
+        if subdir is None and self.mode == "denoise":
+            subdir = "model_dn" if model_only else "training_dn"
+        output_dir = os.path.join(self.run_dir_path, subdir)
+        os.makedirs(output_dir, exist_ok=True)
+        iteration = self.state[StateValue.ITERATION]
+        if model_only:
+            if output_name is None:
+                output_name = "model_{:08d}.wt".format(iteration)
+            ckpt.save_weights(
+                os.path.join(output_dir, output_name),
+                self.train_state.trainable,
+                self.train_state.static,
+                self.cfg,
+                self.mode,
+            )
+        else:
+            if output_name is None:
+                output_name = "model_{:08d}.training".format(iteration)
+            ckpt.save_training(
+                os.path.join(output_dir, output_name),
+                self.train_state.trainable,
+                self.train_state.static,
+                self.train_state.opt_state,
+                self.cfg,
+                self.mode,
+                iteration,
+                rng_key=self._rng_key,
+            )
+
+    def load_state_dict(self, path_or_state):
+        """Load a `.training` checkpoint and rebuild engine + state.
+
+        Parity: train.py:984-1000 (RNG restored; like the reference,
+        optimizer state IS stored but a fresh Adam state is used on resume —
+        the reference deliberately skips optimizer restore at
+        train.py:998-1000; we restore it since it is strictly better, but
+        keep the field optional)."""
+        state = path_or_state
+        if isinstance(state, str):
+            state = ckpt.load(state)
+        self.cfg = state["cfg"]
+        self.mode = state.get("mode", self.mode) or self.mode
+        self.denoiser = Denoiser(self.cfg, mode=self.mode)
+        base = init_state(
+            self.denoiser, seed=int(self.cfg.get(ConfigValue.SEED, 0)),
+            patch=self.cfg[ConfigValue.TRAIN_PATCH_SIZE],
+        )
+        opt_state = state.get("opt_state")
+        if opt_state is None:
+            opt_state = base.opt_state
+        else:
+            opt_state = jax.tree_util.tree_map(
+                lambda ref, new: jnp.asarray(new), base.opt_state, opt_state
+            )
+        self.train_state = TrainState(
+            step=jnp.asarray(state["iteration"] // max(
+                self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE], 1), jnp.int32),
+            trainable=jax.tree_util.tree_map(jnp.asarray, state["trainable"]),
+            static=jax.tree_util.tree_map(jnp.asarray, state["static"]),
+            opt_state=opt_state,
+        )
+        self.state[StateValue.ITERATION] = state["iteration"]
+        if state.get("rng_key") is not None:
+            self._rng_key = jnp.asarray(state["rng_key"])
+        else:
+            self._rng_key = jax.random.PRNGKey(0)
+        self._train_step = None
+        self._eval_step = None
+
+    def load_weights(self, path_or_state):
+        """Load a `.wt` weights checkpoint (eval path)."""
+        state = path_or_state
+        if isinstance(state, str):
+            state = ckpt.load(state)
+        self.cfg = state["cfg"]
+        self.mode = state.get("mode", self.mode) or self.mode
+        self.denoiser = Denoiser(self.cfg, mode=self.mode)
+        base = init_state(
+            self.denoiser, seed=0, patch=self.cfg[ConfigValue.TRAIN_PATCH_SIZE]
+        )
+        self.train_state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            trainable=jax.tree_util.tree_map(jnp.asarray, state["trainable"]),
+            static=jax.tree_util.tree_map(jnp.asarray, state["static"]),
+            opt_state=base.opt_state,
+        )
+        self._rng_key = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------------
+    # Metrics / strings
+    # ------------------------------------------------------------------
+
+    def write_metrics(self, eval_prefix: str = "eval"):
+        def write_metric_dict(metric_dict, prefix):
+            for key, metric in metric_dict.items():
+                if isinstance(metric, Metric) and not metric.empty():
+                    self.writer.add_scalar(
+                        prefix + "/" + str(key),
+                        metric.accumulated(),
+                        self.state[StateValue.ITERATION],
+                    )
+
+        write_metric_dict(self.state[StateValue.HISTORY][HistoryValue.TRAIN], "train")
+        self.writer.add_scalar(
+            "train/learning_rate", self.learning_rate, self.state[StateValue.ITERATION]
+        )
+        write_metric_dict(
+            self.state[StateValue.HISTORY][HistoryValue.EVAL], eval_prefix
+        )
+
+    def state_str(self, eval_prefix: str = "EVAL") -> str:
+        state_str = self.train_state_str()
+        if self.state[StateValue.HISTORY][HistoryValue.EVAL]["n"] > 0:
+            prefix = "{:10} {:>5}".format("", eval_prefix)
+            state_str = os.linesep.join([state_str, self.eval_state_str(prefix)])
+        return state_str
+
+    def train_state_str(self) -> str:
+        def eta_str():
+            timings = self.state[StateValue.HISTORY][HistoryValue.TIMINGS]
+            eta = timings.get("eta", None)
+            if isinstance(eta, (int, float)):
+                return "<1s" if eta < 1 else seconds_to_dhms(eta)
+            return "???"
+
+        history = self.state[StateValue.HISTORY]
+        summary = "[{:08d}] {:>5} | ".format(self.state[StateValue.ITERATION], "TRAIN")
+        parts = []
+        for key, metric in history[HistoryValue.TRAIN].items():
+            if isinstance(metric, Metric) and not metric.empty():
+                parts.append("{}={:8.2f}".format(key, float(np.mean(metric.accumulated()))))
+        summary += ", ".join(parts)
+        total_train = history[HistoryValue.TIMINGS]["total"]
+        if parts:
+            summary += " | "
+        summary += "[{} ~ ETA: {}]".format(
+            seconds_to_dhms(total_train.total, trim=False), eta_str()
+        )
+        return summary
+
+    def eval_state_str(self, prefix: str = "EVAL") -> str:
+        summary = "{} | ".format(prefix)
+        parts = []
+        for key, metric in self.state[StateValue.HISTORY][HistoryValue.EVAL].items():
+            if isinstance(metric, Metric) and not metric.empty():
+                parts.append("{}={:8.2f}".format(key, float(np.mean(metric.accumulated()))))
+        return summary + ", ".join(parts)
+
+    def reset_metrics(self, eval: bool = True, train: bool = True):
+        def reset(metric_dict):
+            metric_dict["n"] = 0
+            for metric in metric_dict.values():
+                if isinstance(metric, Metric):
+                    metric.reset()
+
+        if train:
+            reset(self.state[StateValue.HISTORY][HistoryValue.TRAIN])
+        if eval:
+            reset(self.state[StateValue.HISTORY][HistoryValue.EVAL])
+
+    def update_eta(self, samples: int, elapsed: float, smoothing_factor=0.95):
+        """Parity: train.py:890-923."""
+        timings = self.state[StateValue.HISTORY][HistoryValue.TIMINGS]
+        if samples <= 0:
+            return timings.get("eta")
+        t = elapsed / samples
+        r = self.cfg[ConfigValue.ITERATIONS] - self.state[StateValue.ITERATION]
+        if self.testset is not None:
+            r += len(self.test_sampler) * math.ceil(
+                r / self.cfg[ConfigValue.EVAL_INTERVAL]
+            )
+        new_eta = t * r
+        if "eta" not in timings or isinstance(timings["eta"], TrackedTime):
+            timings["eta"] = new_eta
+        else:
+            sf = smoothing_factor
+            timings["eta"] = sf * new_eta + (1 - sf) * timings["eta"]
+        return timings["eta"]
+
+    # ------------------------------------------------------------------
+    # Run directory naming
+    # ------------------------------------------------------------------
+
+    @property
+    def writer(self) -> ScalarWriter:
+        os.makedirs(self.run_dir_path, exist_ok=True)
+        if self._writer is None:
+            self._writer = ScalarWriter(
+                self.run_dir_path, purge_step=self.state[StateValue.ITERATION] + 1
+            )
+        return self._writer
+
+    @property
+    def run_dir_path(self) -> str:
+        return os.path.join(self.runs_dir, self.run_dir)
+
+    @property
+    def run_dir(self) -> str:
+        if self._run_dir is None:
+            self._run_dir = "{:05d}-train-{}".format(
+                self.next_run_id(), self.config_name()
+            )
+        return self._run_dir
+
+    def next_run_id(self) -> int:
+        run_ids = []
+        if os.path.exists(self.runs_dir):
+            for run_dir_path, _, _ in os.walk(self.runs_dir):
+                run_dir = run_dir_path.split(os.sep)[-1]
+                try:
+                    run_ids.append(int(run_dir.split("-")[0]))
+                except Exception:
+                    continue
+        return max(run_ids) + 1 if run_ids else 0
+
+    def config_name(self) -> str:
+        """Parity: train.py:925-961."""
+
+        def iter_str() -> str:
+            iterations = (
+                self.state[StateValue.ITERATION]
+                if self.state[StateValue.ITERATION] > 0
+                else self.cfg[ConfigValue.ITERATIONS]
+            )
+            if iterations >= 1000000:
+                return "iter%dm" % (iterations // 1000000)
+            elif iterations >= 1000:
+                return "iter%dk" % (iterations // 1000)
+            return "iter%d" % iterations
+
+        lst = [cfg_mod.config_name(self.cfg), iter_str()]
+        if self.cfg.get(ConfigValue.TEST_DATASET_NAME, None) is not None:
+            lst = [self.cfg[ConfigValue.TEST_DATASET_NAME]] + lst
+        if self.cfg.get(ConfigValue.TRAIN_DATASET_NAME, None) is not None:
+            lst = [self.cfg[ConfigValue.TRAIN_DATASET_NAME]] + lst
+        lst += [str(self.cfg[ConfigValue.ALPHA]), str(self.cfg[ConfigValue.TAU])]
+        lst += [self.mode]
+        return "-".join(lst)
+
+
+def resume_run(run_dir: str, iteration: int = None, mode: str = "joint") -> DenoiserTrainer:
+    """Resume training from the latest `.training` snapshot.
+
+    Parity: train.py:1204-1242 — with the `mode` argument actually supplied
+    (the reference omits it and would raise; SURVEY.md §7.4).
+    """
+    run_dir = os.path.abspath(run_dir)
+    runs_dir = os.path.abspath(os.path.join(run_dir, ".."))
+    subdir = "training_jt" if mode == "joint" else "training_dn"
+    path = ckpt.find_latest_training(run_dir, subdir)
+    logger.info("Loading from '%s'...", path)
+    trainer = DenoiserTrainer(
+        None, mode=mode, runs_dir=runs_dir, run_dir=os.path.basename(run_dir)
+    )
+    trainer.load_state_dict(path)
+    logger.info("Loaded training state.")
+    for timing in trainer.state[StateValue.HISTORY][HistoryValue.TIMINGS].values():
+        if isinstance(timing, TrackedTime):
+            timing.forget()
+    return trainer

@@ -1,0 +1,80 @@
+"""Image artifact output + scalar logging.
+
+Parity: `spr_pick/utils/data.py:71-153` (tensor2image min-max -> PNG,
+PSNR helpers) and the tensorboard SummaryWriter usage at train.py:819-835.
+The scalar writer prefers tensorboard (via torch, which is in the image) and
+falls back to a JSONL scalars file so headless runs always record metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def array2image(img: np.ndarray):
+    """Min-max normalise to [0,1] and convert to a PIL 'L' image.
+
+    Parity: tensor2image (utils/data.py:71-93) for single grayscale images.
+    Accepts (H, W), (H, W, 1) or (1, H, W, 1).
+    """
+    from PIL import Image
+
+    x = np.asarray(img, dtype=np.float32)
+    x = np.squeeze(x)
+    if x.ndim != 2:
+        raise NotImplementedError(f"cannot convert shape {img.shape} to image")
+    lo, hi = float(x.min()), float(x.max())
+    if hi > lo:
+        x = (x - lo) / (hi - lo)
+    else:
+        x = np.zeros_like(x)
+    return Image.fromarray(np.uint8(x * 255), mode="L")
+
+
+def save_array_image(img: np.ndarray, path: str):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    array2image(img).save(path)
+
+
+def save_array_image_filtered(img: np.ndarray, path: str, kernel_size: int = 9):
+    """Median-filtered variant (utils/data.py:95-118)."""
+    from scipy.signal import medfilt
+
+    x = np.squeeze(np.asarray(img, dtype=np.float32))
+    x = medfilt(x, kernel_size=kernel_size)
+    save_array_image(x, path)
+
+
+class ScalarWriter:
+    """Tensorboard-or-JSONL scalar writer with purge-on-resume semantics."""
+
+    def __init__(self, log_dir: str, purge_step: Optional[int] = None):
+        os.makedirs(log_dir, exist_ok=True)
+        self.log_dir = log_dir
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir=log_dir, purge_step=purge_step)
+        except Exception:
+            self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+
+    def add_scalar(self, tag: str, value, step: int):
+        value = float(np.asarray(value))
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+        else:
+            self._jsonl.write(
+                json.dumps({"tag": tag, "value": value, "step": step}) + "\n"
+            )
+            self._jsonl.flush()
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
+        else:
+            self._jsonl.close()

@@ -1,12 +1,14 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Multi-chip sharding is validated without TPU hardware by forcing the host
-platform to expose 8 devices (the standard JAX CPU-mesh fake).
+Sharding tests need a virtual 8-device CPU mesh; model tests run on whatever
+backend is fastest (TPU when present, CPU otherwise).  We therefore force 8
+host-platform devices (affects only the CPU platform) but do NOT force the
+CPU backend globally — sharding tests request `jax.devices("cpu")`
+explicitly, which coexists with a TPU default backend.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,3 +22,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture
+def cpu_mesh_devices():
+    """8 virtual CPU devices for multi-chip sharding tests."""
+    import jax
+
+    devices = jax.devices("cpu")
+    if len(devices) < 8:
+        pytest.skip("virtual CPU mesh unavailable")
+    return devices[:8]

@@ -1,0 +1,69 @@
+"""Heatmap rasterisation + NMS tests (device NMS vs greedy host oracle)."""
+
+import numpy as np
+import pytest
+
+from spr_pick_tpu.ops.heatmap import as_gaussian, as_mask, gaussian_radius
+from spr_pick_tpu.ops.nms import (
+    nms_to_host,
+    non_maximum_suppression_np,
+)
+
+
+def test_gaussian_radius():
+    # CornerNet reference values for bb=24 boxes
+    r = gaussian_radius((24, 24))
+    assert 0 < r < 24
+    # paper-config radius used by as_gaussian: int floor
+    assert int(gaussian_radius((24, 24))) == int(r)
+
+
+def test_as_gaussian_peaks():
+    hm = as_gaussian((64, 64), [32, 10], [16, 50], bb=24)
+    # Background is -1, peaks are 1.
+    assert hm.min() == -1.0
+    assert hm[16, 32] == pytest.approx(1.0)
+    assert hm[50, 10] == pytest.approx(1.0)
+    # Gaussians decay from peaks
+    assert -1 < hm[16, 36] < 1.0
+
+
+def test_as_mask_disks():
+    m = as_mask((32, 32), [16], [16], [3])
+    assert m[16, 16] == 1
+    assert m[16, 19] == 1
+    assert m[16, 20] == 0
+    assert m.dtype == np.uint8
+    # overlapping disks still binary
+    m2 = as_mask((32, 32), [16, 17], [16, 16], [3, 3])
+    assert m2.max() == 1
+
+
+def test_nms_matches_reference_oracle(rng):
+    x = rng.rand(64, 64).astype(np.float32)
+    r = 5
+    ref_scores, ref_coords = non_maximum_suppression_np(x, r, threshold=0.2)
+    dev_scores, dev_coords = nms_to_host(x, r, threshold=0.2, max_peaks=512)
+    assert len(ref_scores) == len(dev_scores)
+    np.testing.assert_allclose(ref_scores, dev_scores, rtol=1e-6)
+    np.testing.assert_array_equal(ref_coords, dev_coords)
+
+
+def test_nms_threshold_and_cap(rng):
+    x = np.zeros((32, 32), np.float32)
+    x[5, 5] = 1.0
+    x[20, 20] = 0.5
+    x[25, 5] = 0.01
+    scores, coords = nms_to_host(x, 4, threshold=0.02, max_peaks=16)
+    assert len(scores) == 2
+    np.testing.assert_allclose(scores, [1.0, 0.5])
+    np.testing.assert_array_equal(coords, [[5, 5], [20, 20]])
+
+
+def test_nms_suppression_radius():
+    x = np.zeros((32, 32), np.float32)
+    x[10, 10] = 1.0
+    x[10, 14] = 0.9  # within r=5 of the first peak -> suppressed
+    x[10, 17] = 0.8  # outside r=5 -> kept
+    scores, coords = nms_to_host(x, 5, threshold=0.02, max_peaks=16)
+    np.testing.assert_allclose(scores, [1.0, 0.8])

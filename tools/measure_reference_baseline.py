@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Measure the PyTorch reference's CPU throughput for the headline workload.
+
+Runs the reference implementation (mounted read-only at /root/reference) on
+the BASELINE.json workloads:
+  * dense joint inference on a 1024x1024 micrograph (fill()-ed detector),
+  * joint train step on batch 4 of 64x64 patches (fwd+bwd+Adam).
+
+Missing optional deps (cv2 / torchvision / imagesize...) are stubbed since
+only the model forward path is exercised.  The numbers printed here are the
+`vs_baseline` denominators recorded in bench.py.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import types
+
+# Stub modules the reference imports at package level but that the model
+# forward path never touches.
+for name in ("cv2", "torchvision", "imagesize", "colorlog"):
+    if name not in sys.modules:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+sys.modules["torchvision"].transforms = types.ModuleType("transforms")
+sys.modules["torchvision"].transforms.functional = types.ModuleType("functional")
+sys.modules["torchvision.transforms"] = sys.modules["torchvision"].transforms
+sys.modules["torchvision.transforms.functional"] = (
+    sys.modules["torchvision"].transforms.functional
+)
+sys.modules["torchvision"].utils = types.ModuleType("utils")
+sys.modules["torchvision.utils"] = sys.modules["torchvision"].utils
+sys.modules["torchvision"].datasets = types.ModuleType("datasets")
+sys.modules["torchvision.datasets"] = sys.modules["torchvision"].datasets
+folder = types.ModuleType("folder")
+folder.default_loader = None
+folder.IMG_EXTENSIONS = []
+sys.modules["torchvision.datasets.folder"] = folder
+sys.modules["torchvision"].datasets.folder = folder
+
+sys.path.insert(0, "/root/reference")
+
+import numpy as np
+import torch
+
+from spr_pick.models.joint_network_v2 import JointNetwork  # noqa: E402
+
+
+def bench_dense_inference(n_warm=1, n_iter=3, size=1024):
+    model = JointNetwork(in_channels=1, out_channels=2, blindspot=True, detect=True)
+    model.eval()
+    model.fill()
+    x = torch.randn(1, 1, size, size)
+    with torch.no_grad():
+        for _ in range(n_warm):
+            model(x)
+        t0 = time.time()
+        for _ in range(n_iter):
+            model(x)
+        dt = (time.time() - t0) / n_iter
+    return dt
+
+
+def bench_train_step(n_warm=2, n_iter=10, batch=4, patch=64):
+    model = JointNetwork(in_channels=1, out_channels=2, blindspot=True, detect=True)
+    model.train()
+    model.unfill()
+    opt = torch.optim.Adam(model.parameters(), betas=[0.9, 0.99], lr=1e-4)
+    x = torch.rand(batch, 1, patch, patch)
+
+    def step():
+        opt.zero_grad()
+        out, det = model(x)
+        out_f, det_f = model(x.flip(-1))
+        loss = (out ** 2).mean() + (det ** 2).mean() + (det_f ** 2).mean()
+        loss.backward()
+        opt.step()
+
+    for _ in range(n_warm):
+        step()
+    t0 = time.time()
+    for _ in range(n_iter):
+        step()
+    return (time.time() - t0) / n_iter
+
+
+if __name__ == "__main__":
+    torch.set_num_threads(torch.get_num_threads())
+    dt_inf = bench_dense_inference()
+    print(f"reference dense 1024^2 joint inference: {dt_inf:.3f} s/micrograph "
+          f"({1/dt_inf:.3f} micrographs/s) [torch CPU, {torch.get_num_threads()} threads]")
+    dt_tr = bench_train_step()
+    print(f"reference joint train step (batch 4, 64^2): {dt_tr*1000:.1f} ms/step "
+          f"({1/dt_tr:.2f} it/s)")
