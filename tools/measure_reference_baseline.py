@@ -19,10 +19,13 @@ import types
 
 # Stub modules the reference imports at package level but that the model
 # forward path never touches.
-for name in ("cv2", "torchvision", "imagesize", "colorlog"):
+for name in ("cv2", "torchvision", "imagesize", "colorlog",
+              "colored_traceback", "h5py"):
     if name not in sys.modules:
         mod = types.ModuleType(name)
         sys.modules[name] = mod
+sys.modules["colorlog"].ColoredFormatter = object
+sys.modules["colored_traceback"].Colorizer = object
 sys.modules["torchvision"].transforms = types.ModuleType("transforms")
 sys.modules["torchvision"].transforms.functional = types.ModuleType("functional")
 sys.modules["torchvision.transforms"] = sys.modules["torchvision"].transforms
@@ -47,7 +50,7 @@ import torch
 from spr_pick.models.joint_network_v2 import JointNetwork  # noqa: E402
 
 
-def bench_dense_inference(n_warm=1, n_iter=3, size=1024):
+def bench_dense_inference(n_warm=0, n_iter=1, size=1024):
     model = JointNetwork(in_channels=1, out_channels=2, blindspot=True, detect=True)
     model.eval()
     model.fill()
@@ -56,13 +59,14 @@ def bench_dense_inference(n_warm=1, n_iter=3, size=1024):
         for _ in range(n_warm):
             model(x)
         t0 = time.time()
-        for _ in range(n_iter):
+        for i in range(n_iter):
             model(x)
+            print(f"  dense iter {i}: {time.time() - t0:.1f}s cumulative", flush=True)
         dt = (time.time() - t0) / n_iter
     return dt
 
 
-def bench_train_step(n_warm=2, n_iter=10, batch=4, patch=64):
+def bench_train_step(n_warm=1, n_iter=5, batch=4, patch=64):
     model = JointNetwork(in_channels=1, out_channels=2, blindspot=True, detect=True)
     model.train()
     model.unfill()
@@ -87,9 +91,9 @@ def bench_train_step(n_warm=2, n_iter=10, batch=4, patch=64):
 
 if __name__ == "__main__":
     torch.set_num_threads(torch.get_num_threads())
+    dt_tr = bench_train_step()
+    print(f"reference joint train step (batch 4, 64^2): {dt_tr*1000:.1f} ms/step "
+          f"({1/dt_tr:.2f} it/s)", flush=True)
     dt_inf = bench_dense_inference()
     print(f"reference dense 1024^2 joint inference: {dt_inf:.3f} s/micrograph "
           f"({1/dt_inf:.3f} micrographs/s) [torch CPU, {torch.get_num_threads()} threads]")
-    dt_tr = bench_train_step()
-    print(f"reference joint train step (batch 4, 64^2): {dt_tr*1000:.1f} ms/step "
-          f"({1/dt_tr:.2f} it/s)")
