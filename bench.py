@@ -25,6 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from spr_pick_tpu import cfg as cfg_mod
 from spr_pick_tpu.denoiser import Denoiser
 from spr_pick_tpu.ops.nms import non_maximum_suppression
@@ -32,8 +35,9 @@ from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm, NoiseValue, Pipelin
 from spr_pick_tpu.steps import init_state
 
 # Reference torch-CPU dense 1024^2 joint inference (fill()-ed detector),
-# measured with tools/measure_reference_baseline.py on this host.
-REFERENCE_CPU_SEC_PER_MICROGRAPH = 185.0  # see tools/measure_reference_baseline.py
+# measured with tools/measure_reference_baseline.py on this host:
+# 142.8 s/micrograph (torch 2.13 CPU).
+REFERENCE_CPU_SEC_PER_MICROGRAPH = 142.8
 
 SIZE = 1024
 N_WARMUP = 2

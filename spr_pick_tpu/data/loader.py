@@ -63,13 +63,22 @@ def load_mrc(path: str, standardize: bool = False) -> np.ndarray:
     """MRC -> min-max-quantised image as float32 in [0, 1].
 
     Parity: loader.py:49-59 + the downstream `to_tensor` /255 division.
+    Uses the native C++ quantiser when available (bit-identical).
     """
     array, header, _ = mrc.read(path)
     image = np.asarray(array, dtype=np.float32)
     if standardize:
         image = image - float(header["amean"])
         image /= float(header["rms"])
-    u8 = minmax_quantize_u8(image)
+    try:
+        from spr_pick_tpu import native
+
+        if native.available():
+            u8 = native.minmax_quantize_u8(image)
+        else:
+            u8 = minmax_quantize_u8(image)
+    except ImportError:
+        u8 = minmax_quantize_u8(image)
     return u8.astype(np.float32) / 255.0
 
 

@@ -67,11 +67,24 @@ def draw_gaussian(heatmap: np.ndarray, center, radius: int, k: float = 1.0):
 def as_gaussian(shape, x_coord, y_coord, bb: int = 36) -> np.ndarray:
     """Heatmap initialised to -1, peaks at 1, CornerNet radius from bb.
 
-    Parity: coordinates.py:74-85.
+    Parity: coordinates.py:74-85.  Uses the native C++ rasteriser when
+    available (numerically identical; tests/test_native.py).
     """
     hm = np.full(shape, -1.0, dtype=np.float32)
     radius = max(0, int(gaussian_radius((bb, bb))))
-    for x, y in zip(np.asarray(x_coord, np.int32), np.asarray(y_coord, np.int32)):
+    xs = np.asarray(x_coord, np.int32)
+    ys = np.asarray(y_coord, np.int32)
+    if len(xs) == 0:
+        return hm
+    try:
+        from spr_pick_tpu import native
+
+        if native.available():
+            centers = np.stack([xs, ys], axis=1).astype(np.int32)
+            return native.draw_gaussians(hm, centers, radius)
+    except ImportError:
+        pass
+    for x, y in zip(xs, ys):
         draw_gaussian(hm, (x, y), radius)
     return hm
 

@@ -283,7 +283,9 @@ class DenoiserTrainer:
 
             train_history["n"] += batch_size
             train_history["loss"] += np.asarray(metrics["loss"])
-            for key in ("denoise_loss", "det_loss", "aug_loss"):
+            if "denoise_loss" in metrics:
+                train_history["denoise_loss"] += np.asarray(metrics["denoise_loss"])
+            for key in ("det_loss", "aug_loss"):
                 if key in metrics:
                     train_history[key] += np.asarray(metrics[key]).reshape(1)
             for key in (
