@@ -1,0 +1,196 @@
+"""Reference (PyTorch) checkpoint import.
+
+Converts `nextpyp/spr_pick` checkpoints (`.training` / `.wt` torch pickles,
+train.py:963-982 / denoiser_v2.py:851-855) into this framework's variable
+trees, so users can bring trained reference models across.
+
+Name mapping (reference module path -> flax tree path):
+
+  models.denoiser_model.denoise_branch.encode_block_1.{0,2} -> enc1_conv{0,1}
+  ...encode_block_i.0 (i=2..5)                              -> enc{i}_conv0
+  ...encode_block_6.0                                       -> enc_bottom_conv0
+  ...decode_block_5.{0,2}                                   -> dec0_conv{0,1}
+  ...decode_block_4.{0,2}                                   -> dec1_conv{0,1}
+  ...decode_block_3.{0,2}                                   -> dec2_conv{0,1}
+  ...decode_block_2.{0,2}                                   -> dec3_conv{0,1}
+  ...decode_block_1.{0,2}                                   -> dec_final_conv{0,1}
+  ...output_block.{0,2}                                     -> out_block_conv{0,1}
+  ...output_conv                                            -> out_conv
+  models.denoiser_model.detector.m                          -> detector/input_bn
+  models.denoiser_model.detector.detector.features.features.{0..4}
+        -> detector/classifier/features/layer{0..4}
+  models.denoiser_model.detector.detector.classifier        -> detector/classifier/classifier
+  models.sigma_estimation_model.* (DualNetworkShallow)      -> sigma tree
+  l_params.estimated_sigma                                  -> l_params/estimated_sigma
+
+Weights transpose torch OIHW -> flax HWIO; BatchNorm weight/bias ->
+scale/bias with running_mean/var into the batch_stats collection.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+# UNet conv-name maps per depth (levels=5 full, levels=3 shallow).
+_UNET5 = {
+    "encode_block_1.0": "enc1_conv0",
+    "encode_block_1.2": "enc1_conv1",
+    "encode_block_2.0": "enc2_conv0",
+    "encode_block_3.0": "enc3_conv0",
+    "encode_block_4.0": "enc4_conv0",
+    "encode_block_5.0": "enc5_conv0",
+    "encode_block_6.0": "enc_bottom_conv0",
+    "decode_block_5.0": "dec0_conv0",
+    "decode_block_5.2": "dec0_conv1",
+    "decode_block_4.0": "dec1_conv0",
+    "decode_block_4.2": "dec1_conv1",
+    "decode_block_3.0": "dec2_conv0",
+    "decode_block_3.2": "dec2_conv1",
+    "decode_block_2.0": "dec3_conv0",
+    "decode_block_2.2": "dec3_conv1",
+    "decode_block_1.0": "dec_final_conv0",
+    "decode_block_1.2": "dec_final_conv1",
+    "output_block.0": "out_block_conv0",
+    "output_block.2": "out_block_conv1",
+    "output_conv": "out_conv",
+}
+# Shallow (3-level) sigma estimator: decode uses blocks 5 then 2 then 1
+# (joint_network_v2_shallow.py forward; decode_block_3 exists but is dead).
+_UNET3 = {
+    "encode_block_1.0": "enc1_conv0",
+    "encode_block_1.2": "enc1_conv1",
+    "encode_block_2.0": "enc2_conv0",
+    "encode_block_3.0": "enc3_conv0",
+    "encode_block_6.0": "enc_bottom_conv0",
+    "decode_block_5.0": "dec0_conv0",
+    "decode_block_5.2": "dec0_conv1",
+    "decode_block_2.0": "dec1_conv0",
+    "decode_block_2.2": "dec1_conv1",
+    "decode_block_1.0": "dec_final_conv0",
+    "decode_block_1.2": "dec_final_conv1",
+    "output_block.0": "out_block_conv0",
+    "output_block.2": "out_block_conv1",
+    "output_conv": "out_conv",
+}
+
+_RESNET_LAYER = ["layer0", "layer1", "layer2", "layer3", "layer4"]
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    """torch conv OIHW -> flax HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def _convert_unet(sd: Dict[str, Any], prefix: str, name_map: Dict[str, str],
+                  params: Dict):
+    for ref_name, our_name in name_map.items():
+        w = sd.get(prefix + ref_name + ".weight")
+        if w is None:
+            continue
+        _set(params, (our_name, "conv", "kernel"), _t(np.asarray(w)))
+        b = sd.get(prefix + ref_name + ".bias")
+        if b is not None:
+            _set(params, (our_name, "conv", "bias"), np.asarray(b))
+
+
+def _convert_bn(sd, prefix, params, stats, path):
+    _set(params, path + ("scale",), np.asarray(sd[prefix + ".weight"]))
+    _set(params, path + ("bias",), np.asarray(sd[prefix + ".bias"]))
+    _set(stats, path + ("mean",), np.asarray(sd[prefix + ".running_mean"]))
+    _set(stats, path + ("var",), np.asarray(sd[prefix + ".running_var"]))
+
+
+def _convert_resnet8(sd, prefix, params, stats, base):
+    """prefix ends at '...features.features.'"""
+    for i, layer in enumerate(_RESNET_LAYER):
+        lp = f"{prefix}{i}."
+        if i in (0, 4):  # BasicConv2d
+            _set(params, base + (layer, "conv", "kernel"), _t(np.asarray(sd[lp + "conv.weight"])))
+            if lp + "conv.bias" in sd:
+                _set(params, base + (layer, "conv", "bias"), np.asarray(sd[lp + "conv.bias"]))
+            if lp + "bn.weight" in sd:
+                _convert_bn(sd, lp + "bn", params, stats, base + (layer, "bn"))
+        else:  # ResidA
+            _set(params, base + (layer, "conv0", "kernel"), _t(np.asarray(sd[lp + "conv0.weight"])))
+            _set(params, base + (layer, "conv1", "kernel"), _t(np.asarray(sd[lp + "conv1.weight"])))
+            if lp + "conv0.bias" in sd:
+                _set(params, base + (layer, "conv0", "bias"), np.asarray(sd[lp + "conv0.bias"]))
+            if lp + "conv1.bias" in sd:
+                _set(params, base + (layer, "conv1", "bias"), np.asarray(sd[lp + "conv1.bias"]))
+            if lp + "proj.weight" in sd:
+                _set(params, base + (layer, "proj", "kernel"), _t(np.asarray(sd[lp + "proj.weight"])))
+            if lp + "bn0.weight" in sd:
+                _convert_bn(sd, lp + "bn0", params, stats, base + (layer, "bn0"))
+            if lp + "bn1.weight" in sd:
+                _convert_bn(sd, lp + "bn1", params, stats, base + (layer, "bn1"))
+
+
+def convert_reference_state_dict(
+    sd: Dict[str, Any],
+) -> Tuple[Dict, Dict, Optional[Dict], Optional[Dict], Optional[np.ndarray]]:
+    """Reference Denoiser.state_dict() -> (model_params, model_stats,
+    sigma_params, sigma_stats, estimated_sigma).
+
+    `sd` values may be torch tensors or numpy arrays.
+    """
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items() if hasattr(v, "__len__") or np.ndim(v) >= 0}
+
+    model_params: Dict = {}
+    model_stats: Dict = {}
+
+    mp = "models.denoiser_model."
+    # denoise branch (5-level blind-spot UNet)
+    unet_params: Dict = {}
+    _convert_unet(sd, mp + "denoise_branch.", _UNET5, unet_params)
+    model_params["denoise_branch"] = unet_params
+
+    # detector: BatchNorm2d(1) + LinearClassifier(ResNet8)
+    det_params: Dict = {}
+    det_stats: Dict = {}
+    if mp + "detector.m.weight" in sd:
+        _convert_bn(sd, mp + "detector.m", det_params, det_stats, ("input_bn",))
+        # Note: flax adopts the ResNet8 instance at the Detector scope root
+        # (named "features"); the 1x1 head lives at classifier/classifier.
+        _convert_resnet8(
+            sd, mp + "detector.detector.features.features.",
+            det_params, det_stats, ("features",),
+        )
+        _set(det_params, ("classifier", "classifier", "kernel"),
+             _t(np.asarray(sd[mp + "detector.detector.classifier.weight"])))
+        _set(det_params, ("classifier", "classifier", "bias"),
+             np.asarray(sd[mp + "detector.detector.classifier.bias"]))
+        model_params["detector"] = det_params
+        model_stats["detector"] = det_stats
+
+    # sigma estimator (shallow UNet), optional
+    sigma_params: Optional[Dict] = None
+    sp = "models.sigma_estimation_model."
+    if sp + "encode_block_1.0.weight" in sd:
+        sigma_params = {}
+        _convert_unet(sd, sp, _UNET3, sigma_params)
+
+    est_sigma = sd.get("l_params.estimated_sigma")
+
+    return model_params, model_stats, sigma_params, None, est_sigma
+
+
+def trainable_static_from_reference(sd: Dict) -> Tuple[Dict, Dict]:
+    """Full (trainable, static) trees in this framework's layout."""
+    mp, ms, sp, _, est = convert_reference_state_dict(sd)
+    trainable: Dict = {"model": mp}
+    static: Dict = {"model": ms}
+    if sp is not None:
+        trainable["sigma"] = sp
+    if est is not None:
+        trainable["l_params"] = {"estimated_sigma": np.asarray(est)}
+    return trainable, static

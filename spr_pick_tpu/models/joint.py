@@ -32,7 +32,7 @@ class Detector(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="input_bn"
         )(x)
         return LinearClassifier(
-            ResNet8(bn=True, dense=self.dense), name="classifier"
+            ResNet8(bn=True, dense=self.dense, name="features"), name="classifier"
         )(x, train)
 
 
