@@ -72,15 +72,20 @@ def main():
     x = jnp.asarray(rng.rand(1, SIZE, SIZE, 1), jnp.float32)
     key = jax.random.PRNGKey(0)
 
+    def run_once():
+        out = infer(state, x, key)
+        # Force full host materialisation (block_until_ready alone is not a
+        # reliable fence on the axon tunnel platform).
+        np.asarray(out[0])
+        np.asarray(out[3])
+
     # Warmup / compile
     for i in range(N_WARMUP):
-        out = infer(state, x, key)
-        jax.block_until_ready(out)
+        run_once()
 
     t0 = time.time()
     for i in range(N_ITERS):
-        out = infer(state, x, key)
-        jax.block_until_ready(out)
+        run_once()
     dt = (time.time() - t0) / N_ITERS
 
     value = 1.0 / dt

@@ -121,10 +121,12 @@ void minmax_quantize_u8(const float* in, long n, uint8_t* out) {
     hi = std::max(hi, in[i]);
   }
   if (hi > lo) {
-    const float scale = 255.0f / (hi - lo);
+    const float range = hi - lo;
     for (long i = 0; i < n; ++i) {
-      float v = (in[i] - lo) * scale;
-      out[i] = static_cast<uint8_t>(v);  // truncation, matching astype(uint8)
+      // Two-step normalise-then-scale in float32 to match the numpy
+      // reference bit-for-bit at truncation boundaries.
+      const float norm = (in[i] - lo) / range;
+      out[i] = static_cast<uint8_t>(norm * 255.0f);  // truncation
     }
   } else {
     std::memset(out, 0, n);

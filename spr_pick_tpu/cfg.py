@@ -58,6 +58,9 @@ def base() -> Dict:
         ConfigValue.DEVICE_DATA_PATH: True,
         ConfigValue.MAX_PEAKS: 2048,
         ConfigValue.SEED: 0,
+        # bf16 compute on the conv path: ~2x MXU rate and half the HBM
+        # traffic on TPU; losses/NLL math stay float32.
+        ConfigValue.COMPUTE_DTYPE: "bf16",
     }
 
 

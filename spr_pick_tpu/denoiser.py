@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_DTYPES = {"bf16": jnp.bfloat16, "f32": None, None: None}
+
 from spr_pick_tpu import cfg as cfg_mod
 from spr_pick_tpu import losses
 from spr_pick_tpu.models import BlindspotUNet, JointNetwork
@@ -75,6 +77,8 @@ class Denoiser:
         else:
             out_ch = in_ch
         self.out_channels = out_ch
+        dtype = _DTYPES.get(c.get(ConfigValue.COMPUTE_DTYPE, None), None)
+        self.compute_dtype = dtype
 
         if self.mode == "joint" or pipeline == Pipeline.SSDN:
             # Reference always builds JointNetwork (denoiser_v2.py:99-107).
@@ -83,17 +87,20 @@ class Denoiser:
                 out_channels=out_ch,
                 blindspot=blindspot,
                 dense=False,
+                dtype=dtype,
             )
             self.model_dense = JointNetwork(
                 in_channels=in_ch,
                 out_channels=out_ch,
                 blindspot=blindspot,
                 dense=True,
+                dtype=dtype,
             )
         else:
             # Single-head U-Net for MSE / n2v pipelines.
             self.model = BlindspotUNet(
-                in_channels=in_ch, out_channels=out_ch, blindspot=blindspot
+                in_channels=in_ch, out_channels=out_ch, blindspot=blindspot,
+                dtype=dtype,
             )
             self.model_dense = self.model
 
@@ -104,7 +111,8 @@ class Denoiser:
         ):
             # DualNetworkShallow sigma estimator (denoiser_v2.py:129-137).
             self.sigma_model = BlindspotUNet(
-                in_channels=in_ch, out_channels=1, blindspot=False, levels=3
+                in_channels=in_ch, out_channels=1, blindspot=False, levels=3,
+                dtype=dtype,
             )
 
     # ------------------------------------------------------------------

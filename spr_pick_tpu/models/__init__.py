@@ -5,7 +5,7 @@ from spr_pick_tpu.models.blindspot import (
     rotate,
     shift_down,
 )
-from spr_pick_tpu.models.unet import BlindspotUNet
+from spr_pick_tpu.models.unet import BlindspotUNet, NoiseEstNetwork
 from spr_pick_tpu.models.resnet import (
     BasicConv2d,
     LinearClassifier,
@@ -24,6 +24,7 @@ __all__ = [
     "rotate",
     "shift_down",
     "BlindspotUNet",
+    "NoiseEstNetwork",
     "BasicConv2d",
     "LinearClassifier",
     "MaxPoolLayer",

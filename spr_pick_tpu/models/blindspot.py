@@ -85,12 +85,16 @@ class ShiftConv(nn.Module):
     Fused equivalent of the reference's pad-top / SAME-conv / crop-bottom
     (`ShiftConv2d`, joint_network_v2.py:565-584): a single conv with
     asymmetric vertical padding (2*(k//2) on top, 0 on bottom).
+
+    `dtype` selects the computation dtype (params stay float32); bfloat16
+    halves HBM traffic and doubles MXU rate on TPU.
     """
 
     features: int
     kernel_size: int = 3
     blindspot: bool = True
     kernel_init: nn.initializers.Initializer = KAIMING_LEAKY_01
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -106,6 +110,7 @@ class ShiftConv(nn.Module):
             strides=(1, 1),
             padding=padding,
             kernel_init=self.kernel_init,
+            dtype=self.dtype,
             name="conv",
         )(x)
 

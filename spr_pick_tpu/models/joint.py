@@ -25,15 +25,19 @@ class Detector(nn.Module):
     """
 
     dense: bool = False
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="input_bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="input_bn",
         )(x)
-        return LinearClassifier(
-            ResNet8(bn=True, dense=self.dense, name="features"), name="classifier"
+        out = LinearClassifier(
+            ResNet8(bn=True, dense=self.dense, dtype=self.dtype, name="features"),
+            name="classifier",
         )(x, train)
+        return out.astype(jnp.float32)
 
 
 class JointNetwork(nn.Module):
@@ -53,6 +57,7 @@ class JointNetwork(nn.Module):
     blindspot: bool = True
     dense: bool = False
     zero_output_weights: bool = False
+    dtype: jnp.dtype = None
 
     @property
     def input_wh_mul(self) -> int:
@@ -68,6 +73,7 @@ class JointNetwork(nn.Module):
             blindspot=self.blindspot,
             levels=5,
             zero_output_weights=self.zero_output_weights,
+            dtype=self.dtype,
             name="denoise_branch",
         )(x)
 
@@ -79,5 +85,5 @@ class JointNetwork(nn.Module):
         epsilon = jax.random.normal(self.make_rng("sample"), mu_x.shape, mu_x.dtype)
         z = mu_x + epsilon * sigma_x
 
-        detect = Detector(dense=self.dense, name="detector")(z, train)
+        detect = Detector(dense=self.dense, dtype=self.dtype, name="detector")(z, train)
         return out_stats, detect

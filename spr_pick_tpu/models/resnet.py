@@ -29,10 +29,12 @@ from spr_pick_tpu.models.blindspot import TORCH_CONV_DEFAULT
 from spr_pick_tpu.utils.schedule import insize_from_outsize
 
 
-def _batch_norm(train: bool, name: str):
+def _batch_norm(train: bool, name: str, dtype=None):
     # torch BatchNorm2d defaults: momentum 0.1 (flax decay 0.9), eps 1e-5.
+    # Stats are always accumulated in float32 regardless of compute dtype.
     return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=dtype, name=name,
     )
 
 
@@ -51,6 +53,7 @@ class BasicConv2d(nn.Module):
     bn: bool = False
     dense_factor: int = 1
     dense: bool = False
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -65,10 +68,11 @@ class BasicConv2d(nn.Module):
             padding="VALID",
             use_bias=not self.bn,
             kernel_init=TORCH_CONV_DEFAULT,
+            dtype=self.dtype,
             name="conv",
         )(x)
         if self.bn:
-            y = _batch_norm(train, "bn")(y)
+            y = _batch_norm(train, "bn", self.dtype)(y)
         return nn.relu(y)
 
 
@@ -112,6 +116,7 @@ class ResidA(nn.Module):
     bn: bool = False
     dense_factor: int = 1
     dense: bool = False
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -127,10 +132,11 @@ class ResidA(nn.Module):
             padding="VALID",
             use_bias=not self.bn,
             kernel_init=TORCH_CONV_DEFAULT,
+            dtype=self.dtype,
             name="conv0",
         )(x)
         if self.bn:
-            h = _batch_norm(train, "bn0")(h)
+            h = _batch_norm(train, "bn0", self.dtype)(h)
         h = nn.relu(h)
 
         y = nn.Conv(
@@ -141,6 +147,7 @@ class ResidA(nn.Module):
             padding="VALID",
             use_bias=not self.bn,
             kernel_init=TORCH_CONV_DEFAULT,
+            dtype=self.dtype,
             name="conv1",
         )(h)
 
@@ -153,6 +160,7 @@ class ResidA(nn.Module):
                 strides=(s, s),
                 use_bias=False,
                 kernel_init=TORCH_CONV_DEFAULT,
+                dtype=self.dtype,
                 name="proj",
             )(xc)
         elif s > 1:
@@ -160,7 +168,7 @@ class ResidA(nn.Module):
 
         y = y + xc
         if self.bn:
-            y = _batch_norm(train, "bn1")(y)
+            y = _batch_norm(train, "bn1", self.dtype)(y)
         return nn.relu(y)
 
 
@@ -173,6 +181,7 @@ class ResNet8(nn.Module):
     units: Sequence[int] = (32, 64, 128)
     bn: bool = True
     dense: bool = False
+    dtype: jnp.dtype = None
 
     # (kernel_size, stride) metadata per composite layer for width calc;
     # ResidA composite kernel = 2*dilation + 3 (feature_extractor.py:348).
@@ -201,24 +210,25 @@ class ResNet8(nn.Module):
         acc = 1
         x = BasicConv2d(
             u[0], 7, stride=2, bn=self.bn, dense_factor=acc, dense=self.dense,
-            name="layer0",
+            dtype=self.dtype, name="layer0",
         )(x, train)
         acc *= 2
         x = ResidA(
             u[0], u[0], u[0], dilation=2, bn=self.bn, dense_factor=acc,
-            dense=self.dense, name="layer1",
+            dense=self.dense, dtype=self.dtype, name="layer1",
         )(x, train)
         x = ResidA(
             u[0], u[0], u[1], dilation=2, stride=2, bn=self.bn, dense_factor=acc,
-            dense=self.dense, name="layer2",
+            dense=self.dense, dtype=self.dtype, name="layer2",
         )(x, train)
         acc *= 2
         x = ResidA(
             u[1], u[1], u[1], dilation=2, bn=self.bn, dense_factor=acc,
-            dense=self.dense, name="layer3",
+            dense=self.dense, dtype=self.dtype, name="layer3",
         )(x, train)
         x = BasicConv2d(
-            u[2], 3, bn=self.bn, dense_factor=acc, dense=self.dense, name="layer4"
+            u[2], 3, bn=self.bn, dense_factor=acc, dense=self.dense,
+            dtype=self.dtype, name="layer4",
         )(x, train)
         return x
 

@@ -45,6 +45,12 @@ class BlindspotUNet(nn.Module):
     blindspot: bool = False
     levels: int = 5
     zero_output_weights: bool = False
+    # Channel widths: 48/96 for DualNetwork/NoiseNetwork; 16/32 reproduces
+    # the thin NoiseEstNetwork (noise_estimation_network.py:34-143).
+    enc_features: int = 48
+    dec_features: int = 96
+    # Computation dtype (params stay f32); bf16 recommended on TPU.
+    dtype: jnp.dtype = None
 
     @property
     def input_wh_mul(self) -> int:
@@ -63,7 +69,7 @@ class BlindspotUNet(nn.Module):
         inp = x
 
         def conv(h, features, name):
-            h = ShiftConv(features, 3, blindspot=bs, name=name)(h)
+            h = ShiftConv(features, 3, blindspot=bs, dtype=self.dtype, name=name)(h)
             return leaky_relu(h)
 
         def pool(h):
@@ -71,45 +77,67 @@ class BlindspotUNet(nn.Module):
                 h = shift_down(h, 1)
             return max_pool_2x2(h)
 
+        enc = self.enc_features
+        dec = self.dec_features
+
         # Encoder
         skips = []
-        h = conv(x, 48, "enc1_conv0")
-        h = conv(h, 48, "enc1_conv1")
+        h = conv(x, enc, "enc1_conv0")
+        h = conv(h, enc, "enc1_conv1")
         h = pool(h)
         skips.append(h)  # pool1
         for i in range(2, self.levels + 1):
-            h = conv(h, 48, f"enc{i}_conv0")
+            h = conv(h, enc, f"enc{i}_conv0")
             h = pool(h)
             skips.append(h)  # pool_i
-        h = conv(h, 48, "enc_bottom_conv0")
+        h = conv(h, enc, "enc_bottom_conv0")
 
         # Decoder: concat with pools levels-1 .. 1
         h = upsample_nearest_2x(h)
         for stage, skip in enumerate(reversed(skips[:-1])):
             h = jnp.concatenate([h, skip], axis=-1)
-            h = conv(h, 96, f"dec{stage}_conv0")
-            h = conv(h, 96, f"dec{stage}_conv1")
+            h = conv(h, dec, f"dec{stage}_conv0")
+            h = conv(h, dec, f"dec{stage}_conv1")
             h = upsample_nearest_2x(h)
         h = jnp.concatenate([h, inp], axis=-1)
-        h = conv(h, 96, "dec_final_conv0")
-        h = conv(h, 96, "dec_final_conv1")
+        h = conv(h, dec, "dec_final_conv0")
+        h = conv(h, dec, "dec_final_conv1")
 
         # Output head
         if bs:
             h = shift_down(h, 1)
-            h = rot4_unstack(h)  # B,H,W,384
-            nin = 384
+            h = rot4_unstack(h)  # B,H,W,4*dec
+            nin = 4 * dec
         else:
-            nin = 96
-        h = ShiftConv(nin, 1, blindspot=bs, name="out_block_conv0")(h)
+            nin = dec
+        h = ShiftConv(nin, 1, blindspot=bs, dtype=self.dtype, name="out_block_conv0")(h)
         h = leaky_relu(h)
-        h = ShiftConv(96, 1, blindspot=bs, name="out_block_conv1")(h)
+        h = ShiftConv(dec, 1, blindspot=bs, dtype=self.dtype, name="out_block_conv1")(h)
         h = leaky_relu(h)
 
         out_init = (
             nn.initializers.zeros if self.zero_output_weights else KAIMING_LINEAR
         )
         h = ShiftConv(
-            self.out_channels, 1, blindspot=bs, kernel_init=out_init, name="out_conv"
+            self.out_channels, 1, blindspot=bs, kernel_init=out_init,
+            dtype=self.dtype, name="out_conv",
         )(h)
-        return h
+        # Heads feed the NLL math: always hand back float32.
+        return h.astype(jnp.float32)
+
+
+def NoiseEstNetwork(in_channels: int = 1, out_channels: int = 1,
+                    blindspot: bool = False) -> BlindspotUNet:
+    """Thin (16/32-channel) sigma-estimation U-Net.
+
+    Parity: spr_pick/models/noise_estimation_network.py (imported by the
+    reference but never instantiated on the active path).
+    """
+    return BlindspotUNet(
+        in_channels=in_channels,
+        out_channels=out_channels,
+        blindspot=blindspot,
+        levels=5,
+        enc_features=16,
+        dec_features=32,
+    )

@@ -86,6 +86,7 @@ class ConfigValue(Enum):
     DEVICE_DATA_PATH = auto()    # keep micrograph stack resident in HBM
     MAX_PEAKS = auto()           # static cap for on-device NMS output
     SEED = auto()                # base PRNG seed
+    COMPUTE_DTYPE = auto()       # "bf16" or "f32" model computation dtype
 
 
 class DatasetType(Enum):

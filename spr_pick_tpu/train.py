@@ -91,6 +91,7 @@ class DenoiserTrainer:
         self._writer: Optional[ScalarWriter] = None
         self._rng_key = None
 
+        self.mesh = None
         self.trainset: Optional[MicrographDataset] = None
         self.patch_pipeline: Optional[DevicePatchPipeline] = None
         self.train_sampler = None
@@ -121,7 +122,30 @@ class DenoiserTrainer:
         self._rng_key = jax.random.PRNGKey(seed + 1)
         self._train_step = None
         self._eval_step = None
+        self._setup_mesh()
         self.init_state()
+
+    def _setup_mesh(self):
+        """Data-parallel mesh over local devices (cfg MESH_SHAPE; default all
+        devices when more than one is present).  Replaces the reference's
+        dormant nn.DataParallel (SURVEY.md §2.7)."""
+        from spr_pick_tpu.parallel.mesh import make_mesh, replicate
+
+        self.mesh = None
+        n = self.cfg.get(ConfigValue.MESH_SHAPE)
+        if n is None:
+            n = len(jax.devices())
+        if n and n > 1 and len(jax.devices()) >= n:
+            if self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE] % n != 0:
+                logger.warning(
+                    "batch size %d not divisible by mesh size %d; "
+                    "running single-device",
+                    self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE], n,
+                )
+                return
+            self.mesh = make_mesh(n)
+            self.train_state = replicate(self.train_state, self.mesh)
+            logger.info("data-parallel mesh over %d devices", n)
 
     def _next_rng(self):
         self._rng_key, sub = jax.random.split(self._rng_key)
@@ -277,8 +301,15 @@ class DenoiserTrainer:
             indices = self.train_sampler.sample_batch(batch_size)
             batch = self.patch_pipeline.batch(indices)
             lr = jnp.float32(self.learning_rate)
+            rng = self._next_rng()
+            if self.mesh is not None:
+                from spr_pick_tpu.parallel.mesh import replicate, shard_batch
+
+                batch = shard_batch(batch, self.mesh)
+                rng = replicate(rng, self.mesh)
+                lr = replicate(lr, self.mesh)
             self.train_state, metrics = self._train_step(
-                self.train_state, batch, self._next_rng(), lr
+                self.train_state, batch, rng, lr
             )
 
             train_history["n"] += batch_size
@@ -499,6 +530,7 @@ class DenoiserTrainer:
             self._rng_key = jax.random.PRNGKey(0)
         self._train_step = None
         self._eval_step = None
+        self._setup_mesh()
 
     def load_weights(self, path_or_state):
         """Load a `.wt` weights checkpoint (eval path)."""
