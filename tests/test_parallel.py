@@ -21,6 +21,9 @@ def _cfg():
     c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
     c[ConfigValue.NOISE_STYLE] = "gauss"
     c[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
+    # Sharding-semantics equality is asserted in f32; bf16 (the production
+    # default) amplifies cross-shard reduction-order noise.
+    c[ConfigValue.COMPUTE_DTYPE] = "f32"
     cfg_mod.infer(c, model_only=True)
     return c
 
