@@ -181,41 +181,99 @@ class DenoiserTrainer:
         """
         cfg = self.cfg
         dtype = cfg[ConfigValue.TRAIN_DATASET_TYPE]
-        if dtype != DatasetType.TXT:
-            raise NotImplementedError(
-                "Training currently requires a TXT manifest dataset "
-                "(micrographs + coordinates); folder/hdf5 are eval-only."
+        if dtype == DatasetType.TXT:
+            dataset = MicrographDataset(
+                cfg[ConfigValue.TRAIN_DATA_PATH],
+                cfg[ConfigValue.TRAIN_LABEL_PATH],
+                radius=3,
+                train=True,
+                crop=cfg[ConfigValue.TRAIN_PATCH_SIZE],
+                gt_path=cfg[ConfigValue.TRAIN_GT_PATH],
+                bb=cfg[ConfigValue.BB],
             )
-        dataset = MicrographDataset(
-            cfg[ConfigValue.TRAIN_DATA_PATH],
-            cfg[ConfigValue.TRAIN_LABEL_PATH],
-            radius=3,
-            train=True,
-            crop=cfg[ConfigValue.TRAIN_PATCH_SIZE],
-            gt_path=cfg[ConfigValue.TRAIN_GT_PATH],
-            bb=cfg[ConfigValue.BB],
+            sampler = StratifiedCoordinateSampler(
+                [g for g in dataset.targets],
+                balance=0.1,
+                size=cfg[ConfigValue.ITERATIONS]
+                * cfg[ConfigValue.TRAIN_MINIBATCH_SIZE],
+            )
+            pipeline = DevicePatchPipeline(
+                dataset, crop=cfg[ConfigValue.TRAIN_PATCH_SIZE], augment=True
+            )
+            return dataset, sampler, pipeline
+
+        if self.mode != "denoise":
+            raise NotImplementedError(
+                "joint training needs particle coordinates (TXT manifest); "
+                "folder/hdf5 datasets support denoise-only training."
+            )
+        from spr_pick_tpu.data.patches import DenoisePatchPipeline
+
+        if dtype == DatasetType.FOLDER:
+            from spr_pick_tpu.data.folder import UnlabelledImageFolderDataset
+
+            base = UnlabelledImageFolderDataset(
+                cfg[ConfigValue.TRAIN_DATA_PATH], recursive=True,
+                channels=cfg[ConfigValue.IMAGE_CHANNELS],
+            )
+        elif dtype == DatasetType.HDF5:
+            from spr_pick_tpu.data.hdf5 import HDF5Dataset
+
+            base = HDF5Dataset(
+                cfg[ConfigValue.TRAIN_DATA_PATH],
+                channels=cfg[ConfigValue.IMAGE_CHANNELS],
+            )
+        else:
+            raise NotImplementedError("Dataset type not implemented")
+        pipeline = DenoisePatchPipeline(
+            base,
+            patch=cfg[ConfigValue.TRAIN_PATCH_SIZE],
+            algorithm=cfg[ConfigValue.ALGORITHM],
+            noise_style=cfg[ConfigValue.NOISE_STYLE],
+            seed=int(cfg.get(ConfigValue.SEED, 0)),
         )
-        sampler = StratifiedCoordinateSampler(
-            [g for g in dataset.targets],
-            balance=0.1,
-            size=cfg[ConfigValue.ITERATIONS] * cfg[ConfigValue.TRAIN_MINIBATCH_SIZE],
-        )
-        pipeline = DevicePatchPipeline(
-            dataset, crop=cfg[ConfigValue.TRAIN_PATCH_SIZE], augment=True
-        )
-        return dataset, sampler, pipeline
+        return base, None, pipeline
 
     def test_data(self):
         """Validation dataset (whole micrographs).  Parity: train.py:1119-1195."""
         cfg = self.cfg
-        dataset = MicrographDataset(
-            cfg[ConfigValue.TEST_DATA_PATH],
-            cfg[ConfigValue.TEST_LABEL_PATH],
-            radius=3,
-            train=False,
-            gt_path=cfg[ConfigValue.TEST_GT_PATH],
-            bb=cfg[ConfigValue.BB],
-        )
+        dtype = cfg[ConfigValue.TEST_DATASET_TYPE]
+        if dtype == DatasetType.TXT or cfg[ConfigValue.TEST_LABEL_PATH]:
+            dataset = MicrographDataset(
+                cfg[ConfigValue.TEST_DATA_PATH],
+                cfg[ConfigValue.TEST_LABEL_PATH],
+                radius=3,
+                train=False,
+                gt_path=cfg[ConfigValue.TEST_GT_PATH],
+                bb=cfg[ConfigValue.BB],
+            )
+        else:
+            from spr_pick_tpu.data.patches import UnlabeledEvalDataset
+
+            if dtype == DatasetType.FOLDER:
+                from spr_pick_tpu.data.folder import UnlabelledImageFolderDataset
+
+                base = UnlabelledImageFolderDataset(
+                    cfg[ConfigValue.TEST_DATA_PATH], recursive=True,
+                    channels=cfg[ConfigValue.IMAGE_CHANNELS],
+                )
+            elif dtype == DatasetType.HDF5:
+                from spr_pick_tpu.data.hdf5 import HDF5Dataset
+
+                base = HDF5Dataset(
+                    cfg[ConfigValue.TEST_DATA_PATH],
+                    channels=cfg[ConfigValue.IMAGE_CHANNELS],
+                )
+            else:
+                raise NotImplementedError("Dataset type not implemented")
+            gt = None
+            if cfg[ConfigValue.TEST_GT_PATH]:
+                from spr_pick_tpu.data.folder import UnlabelledImageFolderDataset
+
+                gt = UnlabelledImageFolderDataset(
+                    cfg[ConfigValue.TEST_GT_PATH], recursive=True
+                )
+            dataset = UnlabeledEvalDataset(base, gt)
         sampler = FixedLengthSampler(
             len(dataset), num_samples=cfg_mod.test_length(cfg), shuffled=False
         )
@@ -298,8 +356,12 @@ class DenoiserTrainer:
             if iteration >= self.cfg[ConfigValue.ITERATIONS]:
                 break
 
-            indices = self.train_sampler.sample_batch(batch_size)
-            batch = self.patch_pipeline.batch(indices)
+            if self.train_sampler is not None:
+                batch = self.patch_pipeline.batch(
+                    self.train_sampler.sample_batch(batch_size)
+                )
+            else:
+                batch = self.patch_pipeline.batch(batch_size)
             lr = jnp.float32(self.learning_rate)
             rng = self._next_rng()
             if self.mesh is not None:

@@ -1,0 +1,42 @@
+"""Denoise-only training on folder datasets (n2c path, no coordinates)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from spr_pick_tpu import cfg as cfg_mod
+from spr_pick_tpu.data import mrc
+from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm
+
+
+@pytest.mark.slow
+def test_folder_n2c_training(tmp_path, rng):
+    from spr_pick_tpu.train import DenoiserTrainer
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        mrc.write(str(img_dir / f"img{i}.mrc"), rng.randn(128, 128).astype(np.float32))
+
+    cfg = cfg_mod.base()
+    cfg[ConfigValue.ALGORITHM] = NoiseAlgorithm.NOISE_TO_CLEAN
+    cfg[ConfigValue.NOISE_STYLE] = "gauss25"
+    cfg[ConfigValue.ITERATIONS] = 16
+    cfg[ConfigValue.TRAIN_MINIBATCH_SIZE] = 4
+    cfg[ConfigValue.TRAIN_PATCH_SIZE] = 64
+    cfg[ConfigValue.EVAL_INTERVAL] = 1000
+    cfg[ConfigValue.PRINT_INTERVAL] = 8
+    cfg[ConfigValue.SNAPSHOT_INTERVAL] = 16
+
+    trainer = DenoiserTrainer(cfg, mode="denoise", runs_dir=str(tmp_path / "runs"))
+    trainer.set_train_data(str(img_dir))
+    trainer.set_test_data(str(img_dir))
+    trainer.train()
+
+    run_dir = trainer.run_dir_path
+    assert os.path.isdir(os.path.join(run_dir, "training_dn"))
+    assert any(f.endswith(".wt") for f in os.listdir(run_dir))
+    # eval artifacts from the unlabeled eval dataset
+    val_dir = os.path.join(run_dir, "val_imgs_denoise")
+    assert any(f.endswith(".png") for f in os.listdir(val_dir))
