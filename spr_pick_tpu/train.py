@@ -327,8 +327,12 @@ class DenoiserTrainer:
             self._train_step = make_train_step(self.denoiser, self.alpha, self.tau)
 
         history = self.state[StateValue.HISTORY]
-        train_history = history[HistoryValue.TRAIN]
         batch_size = self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE]
+        # Metrics stay ON DEVICE between print intervals: forcing them to
+        # host every step would serialize the async dispatch chain (a
+        # ~30 ms/step stall measured over the device transport vs ~9 ms of
+        # actual step compute at batch 4).
+        pending_metrics = []
 
         while True:
             iteration = self.state[StateValue.ITERATION]
@@ -337,8 +341,10 @@ class DenoiserTrainer:
                 iteration % self.cfg[ConfigValue.EVAL_INTERVAL] == 0
                 and self.testset is not None
             ):
+                self._flush_metrics(pending_metrics, batch_size)
                 self._evaluate(output_callback=self.validation_output_callback(0))
             if iteration % self.cfg[ConfigValue.PRINT_INTERVAL] == 0:
+                self._flush_metrics(pending_metrics, batch_size)
                 history[HistoryValue.TIMINGS]["total"].update()
                 last_print = history[HistoryValue.TIMINGS]["last_print"]
                 last_print.update()
@@ -351,6 +357,7 @@ class DenoiserTrainer:
                 last_print.total = 0
                 self.reset_metrics()
             if iteration % self.cfg[ConfigValue.SNAPSHOT_INTERVAL] == 0:
+                self._flush_metrics(pending_metrics, batch_size)
                 self.snapshot()
 
             if iteration >= self.cfg[ConfigValue.ITERATIONS]:
@@ -373,22 +380,11 @@ class DenoiserTrainer:
             self.train_state, metrics = self._train_step(
                 self.train_state, batch, rng, lr
             )
-
-            train_history["n"] += batch_size
-            train_history["loss"] += np.asarray(metrics["loss"])
-            if "denoise_loss" in metrics:
-                train_history["denoise_loss"] += np.asarray(metrics["denoise_loss"])
-            for key in ("det_loss", "aug_loss"):
-                if key in metrics:
-                    train_history[key] += np.asarray(metrics[key]).reshape(1)
-            for key in (
-                PipelineOutput.NOISE_STD_DEV.value,
-                PipelineOutput.MODEL_STD_DEV.value,
-            ):
-                if key in metrics:
-                    train_history[key] += np.asarray(metrics[key]).reshape(1) * 255
+            pending_metrics.append(metrics)
 
             self.state[StateValue.ITERATION] += batch_size
+
+        self._flush_metrics(pending_metrics, batch_size)
 
         logger.info(separator())
         logger.info("TRAINING FINISHED")
@@ -400,6 +396,29 @@ class DenoiserTrainer:
             subdir="",
             model_only=True,
         )
+
+    def _flush_metrics(self, pending, batch_size: int):
+        """Materialise buffered per-step device metrics into the history."""
+        train_history = self.state[StateValue.HISTORY][HistoryValue.TRAIN]
+        for metrics in pending:
+            train_history["n"] += batch_size
+            train_history["loss"] += np.asarray(metrics["loss"])
+            if "denoise_loss" in metrics:
+                train_history["denoise_loss"] += np.asarray(
+                    metrics["denoise_loss"]
+                )
+            for key in ("det_loss", "aug_loss"):
+                if key in metrics:
+                    train_history[key] += np.asarray(metrics[key]).reshape(1)
+            for key in (
+                PipelineOutput.NOISE_STD_DEV.value,
+                PipelineOutput.MODEL_STD_DEV.value,
+            ):
+                if key in metrics:
+                    train_history[key] += (
+                        np.asarray(metrics[key]).reshape(1) * 255
+                    )
+        pending.clear()
 
     # ------------------------------------------------------------------
     # Evaluation (dense inference over whole micrographs)
