@@ -12,7 +12,7 @@ import logging
 import os
 from typing import Dict
 
-from spr_pick_tpu.params import ConfigValue, PipelineOutput, StateValue
+from spr_pick_tpu.params import ConfigValue
 from spr_pick_tpu.train import DenoiserTrainer
 from spr_pick_tpu.utils import checkpoint as ckpt
 from spr_pick_tpu.utils.logging_helper import setup as setup_logging

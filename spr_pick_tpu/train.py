@@ -14,7 +14,6 @@ from __future__ import annotations
 import logging
 import math
 import os
-import time
 from collections import defaultdict
 from typing import Callable, Dict, Optional
 
@@ -22,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import spr_pick_tpu
 from spr_pick_tpu import cfg as cfg_mod
 from spr_pick_tpu.data.micrograph import (
     DevicePatchPipeline,
@@ -36,7 +34,6 @@ from spr_pick_tpu.params import (
     ConfigValue,
     DatasetType,
     HistoryValue,
-    NoiseValue,
     Pipeline,
     PipelineOutput,
     StateValue,
