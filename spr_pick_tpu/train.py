@@ -428,21 +428,44 @@ class DenoiserTrainer:
         if self._eval_step is None:
             self._eval_step = make_eval_step(self.denoiser, dense=True)
         eval_history = self.state[StateValue.HISTORY][HistoryValue.EVAL]
+        batch_size = max(int(self.cfg[ConfigValue.TEST_MINIBATCH_SIZE] or 1), 1)
+
+        indices = list(iter(self.test_sampler))
         idx = 0
-        for index in iter(self.test_sampler):
-            item = self.testset.test_item(index, pad_multiple=32)
-            batch = {"inp": jnp.asarray(item["inp"])}
-            outputs = self._eval_step(self.train_state, batch, self._next_rng())
-            eval_history["n"] += 1
-            if item["gt"] is not None:
-                shape = item["image_shape"]
-                for key, name in self.img_outputs(prefix="psnr").items():
-                    img = unpad(np.asarray(outputs[key])[0, :, :, 0], shape)
-                    gt = np.asarray(item["gt"])[: shape[0], : shape[1]]
-                    eval_history[name] += calculate_psnr(img[None], gt[None])
-            if output_callback:
-                output_callback(idx, outputs, item)
-            idx += 1
+        while idx < len(indices):
+            # Group consecutive same-shape micrographs into one batch.
+            group = [self.testset.test_item(indices[idx], pad_multiple=32)]
+            while (
+                len(group) < batch_size
+                and idx + len(group) < len(indices)
+            ):
+                nxt = self.testset.test_item(
+                    indices[idx + len(group)], pad_multiple=32
+                )
+                if nxt["inp"].shape != group[0]["inp"].shape:
+                    break
+                group.append(nxt)
+
+            inp = np.concatenate([it["inp"] for it in group], axis=0)
+            outputs = self._eval_step(
+                self.train_state, {"inp": jnp.asarray(inp)}, self._next_rng()
+            )
+            for j, item in enumerate(group):
+                per = {
+                    k: v[j : j + 1]
+                    for k, v in outputs.items()
+                    if getattr(v, "ndim", 0) == 4
+                }
+                eval_history["n"] += 1
+                if item["gt"] is not None:
+                    shape = item["image_shape"]
+                    for key, name in self.img_outputs(prefix="psnr").items():
+                        img = unpad(np.asarray(per[key])[0, :, :, 0], shape)
+                        gt = np.asarray(item["gt"])[: shape[0], : shape[1]]
+                        eval_history[name] += calculate_psnr(img[None], gt[None])
+                if output_callback:
+                    output_callback(idx + j, per, item)
+            idx += len(group)
 
     def validation_output_callback(self, output_index: int):
         def callback(idx: int, outputs: Dict, item: Dict):
@@ -493,6 +516,9 @@ class DenoiserTrainer:
             unpad_save(outputs[PipelineOutput.IMG_DENOISED], "out")
         if PipelineOutput.IMG_MU in outputs:
             unpad_save(outputs[PipelineOutput.IMG_MU], "out-mu")
+        if item.get("hm") is not None:
+            # Target heatmap dump ("out-target", train.py:587-588).
+            unpad_save(np.asarray(item["hm"]), "out-target")
         if PipelineOutput.MODEL_STD_DEV in outputs:
             unpad_save(outputs[PipelineOutput.MODEL_STD_DEV], "out-std")
         if PipelineOutput.DETECT in outputs and scoreformat is not None:
