@@ -157,6 +157,79 @@ def non_maximum_suppression_blocked(
     return scores, coords, count
 
 
+@partial(jax.jit, static_argnames=("radius", "threshold", "max_peaks"))
+def non_maximum_suppression_waves(
+    heatmap: jnp.ndarray,
+    radius: int,
+    threshold: float = -jnp.inf,
+    max_peaks: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact greedy NMS via parallel waves of independent local maxima.
+
+    Greedy-equivalence: a pixel that is the maximum of its (4r+1)-square
+    neighbourhood among unsuppressed pixels can never be suppressed by a
+    higher pick (any suppressor within r would out-score it), and two such
+    maxima cannot conflict (each would have to out-score the other), so ALL
+    of them are greedy picks and can be taken in one wave.  Suppress their
+    disks, repeat until nothing above threshold survives, then order by
+    score (greedy emits picks in descending score order).  Rounds ~ tens
+    instead of ~thousands of serial argmax iterations.
+    """
+    h, w = heatmap.shape
+    neg = jnp.float32(-jnp.inf)
+    work = heatmap.astype(jnp.float32)
+
+    # Disk kernel for suppression dilation (conv of the pick mask).
+    win = 2 * radius + 1
+    yy = jax.lax.broadcasted_iota(jnp.int32, (win, win), 0) - radius
+    xx = jax.lax.broadcasted_iota(jnp.int32, (win, win), 1) - radius
+    disk = ((yy * yy + xx * xx) <= radius * radius).astype(jnp.float32)
+    disk_kernel = disk[:, :, None, None]  # HWIO
+
+    local_win = 4 * radius + 1
+
+    def cond(carry):
+        work, picked, again = carry
+        return again
+
+    def body(carry):
+        work, picked, _ = carry
+        local_max = jax.lax.reduce_window(
+            work, neg, jax.lax.max,
+            (local_win, local_win), (1, 1), "SAME",
+        )
+        is_pick = (work == local_max) & (work > threshold)
+        picked = picked | is_pick
+        # Dilate picks by the disk -> suppression mask.
+        sup = jax.lax.conv_general_dilated(
+            is_pick.astype(jnp.float32)[None, :, :, None],
+            disk_kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0, :, :, 0]
+        work = jnp.where(sup > 0, neg, work)
+        again = jnp.max(work) > threshold
+        return work, picked, again
+
+    picked0 = jnp.zeros((h, w), bool)
+    _, picked, _ = jax.lax.while_loop(
+        cond, body, (work, picked0, jnp.max(work) > threshold)
+    )
+
+    flat_scores = jnp.where(picked, heatmap.astype(jnp.float32), neg).reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, max_peaks)
+    valid = top_scores > threshold
+    count = jnp.sum(valid.astype(jnp.int32))
+    scores = jnp.where(valid, top_scores, 0.0)
+    coords = jnp.stack(
+        [
+            jnp.where(valid, top_idx % w, 0).astype(jnp.int32),
+            jnp.where(valid, top_idx // w, 0).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    return scores, coords, count
+
+
 def nms_to_host(
     heatmap, radius: int, threshold: float = 0.02, max_peaks: int = 2048
 ):

@@ -1,0 +1,91 @@
+"""Eval-path extras: PSNR vs ground truth, known-noise ssdn branch."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spr_pick_tpu import cfg as cfg_mod
+from spr_pick_tpu.denoiser import Denoiser
+from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm, NoiseValue
+from spr_pick_tpu.steps import init_state, make_train_step
+
+
+def test_known_noise_ssdn(rng):
+    c = cfg_mod.base()
+    c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    c[ConfigValue.NOISE_STYLE] = "gauss25"
+    c[ConfigValue.NOISE_VALUE] = NoiseValue.KNOWN
+    cfg_mod.infer(c, model_only=True)
+    den = Denoiser(c, mode="denoise")
+    state = init_state(den, seed=0)
+    step = make_train_step(den, alpha=0.0, tau=0.0)
+    batch = {
+        "inp": jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32),
+        "noise_std": jnp.full((2, 1, 1, 1), 25 / 255, jnp.float32),
+    }
+    state2, metrics = step(state, batch, jax.random.PRNGKey(0), jnp.float32(1e-4))
+    assert np.isfinite(float(np.mean(metrics["loss"])))
+    # No learnable sigma / sigma net in known mode.
+    assert "l_params" not in state2.trainable
+    assert "sigma" not in state2.trainable
+
+
+def test_known_noise_requires_std(rng):
+    c = cfg_mod.base()
+    c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    c[ConfigValue.NOISE_STYLE] = "gauss25"
+    c[ConfigValue.NOISE_VALUE] = NoiseValue.KNOWN
+    cfg_mod.infer(c, model_only=True)
+    den = Denoiser(c, mode="denoise")
+    state = init_state(den, seed=0)
+    step = make_train_step(den, alpha=0.0, tau=0.0)
+    batch = {"inp": jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)}
+    with pytest.raises(ValueError, match="noise_std"):
+        step(state, batch, jax.random.PRNGKey(0), jnp.float32(1e-4))
+
+
+@pytest.mark.slow
+def test_eval_psnr_with_gt(tmp_path, rng):
+    """Ground-truth dataset wired through eval produces psnr_* metrics."""
+    from spr_pick_tpu.data import mrc
+    from spr_pick_tpu.params import HistoryValue, StateValue
+    from spr_pick_tpu.train import DenoiserTrainer
+    from tests.test_e2e import make_synthetic_dataset
+
+    images_txt, coords_txt = make_synthetic_dataset(tmp_path, rng, n_images=1)
+    # Ground truth = (smoothed) clean-ish copies with matching names.
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    import pandas as pd
+
+    table = pd.read_csv(images_txt, sep="\t")
+    rows = []
+    for _, row in table.iterrows():
+        img, _, _ = mrc.read(row["path"])
+        mrc.write(str(gt_dir / f"{row.image_name}.mrc"), np.asarray(img))
+        rows.append(f"{row.image_name}\t{gt_dir / (row.image_name + '.mrc')}")
+    gt_txt = tmp_path / "gt_images.txt"
+    gt_txt.write_text("image_name\tpath\n" + "\n".join(rows) + "\n")
+
+    cfg = cfg_mod.base()
+    cfg[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    cfg[ConfigValue.NOISE_STYLE] = "gauss"
+    cfg[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
+    cfg[ConfigValue.ITERATIONS] = 8
+    cfg[ConfigValue.TRAIN_MINIBATCH_SIZE] = 4
+    cfg[ConfigValue.EVAL_INTERVAL] = 8
+    cfg[ConfigValue.PRINT_INTERVAL] = 8
+    cfg[ConfigValue.SNAPSHOT_INTERVAL] = 8
+    trainer = DenoiserTrainer(
+        cfg, mode="joint", alpha=0.75, tau=0.05, runs_dir=str(tmp_path / "runs")
+    )
+    trainer.set_train_data(images_txt)
+    trainer.set_train_label(coords_txt)
+    trainer.set_test_data(images_txt)
+    trainer.set_test_label(coords_txt)
+    trainer.set_test_gt_data(str(gt_txt))
+    trainer.train()
+    eval_hist = trainer.state[StateValue.HISTORY][HistoryValue.EVAL]
+    assert "psnr_out" in eval_hist

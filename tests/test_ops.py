@@ -8,6 +8,7 @@ from spr_pick_tpu.ops.nms import (
     nms_to_host,
     non_maximum_suppression_blocked,
     non_maximum_suppression_np,
+    non_maximum_suppression_waves,
 )
 
 
@@ -65,6 +66,22 @@ def test_blocked_nms_matches_oracle(rng):
     mism = (c_ref != np_.asarray(c_b[:n])).any(axis=1)
     for i in np_.nonzero(mism)[0]:
         assert x[c_b[i][1], c_b[i][0]] == s_ref[i]
+
+
+def test_wave_nms_matches_oracle(rng):
+    import jax.numpy as jnp
+    import numpy as np_
+
+    x = rng.rand(160, 160).astype(np.float32)
+    s_ref, c_ref = non_maximum_suppression_np(x, 7, threshold=0.4)
+    s, c, n = non_maximum_suppression_waves(jnp.asarray(x), 7, 0.4, 1024)
+    n = int(n)
+    assert n == len(s_ref)
+    np_.testing.assert_allclose(s_ref, np_.asarray(s[:n]), rtol=1e-6)
+    # coords equal except exact-score ties
+    mism = (c_ref != np_.asarray(c[:n])).any(axis=1)
+    for i in np_.nonzero(mism)[0]:
+        assert x[c[i][1], c[i][0]] == s_ref[i]
 
 
 def test_nms_threshold_and_cap(rng):
