@@ -322,14 +322,24 @@ class DevicePatchPipeline:
         self._gather = gather
         self._np_rng = np.random.RandomState(0)
 
-    def batch(self, packed_indices: np.ndarray) -> Dict[str, jnp.ndarray]:
+    def decode(self, packed_indices: np.ndarray):
+        """Packed sampler indices -> (flat image idx, ys, xs) int32 arrays.
+
+        Works on any shape; used by both the per-step gather and the
+        scan-chunked trainer."""
         g, i, coord = unpack_index(packed_indices)
         flat = np.array(
-            [self.flat_of[(int(gg), int(ii))] for gg, ii in zip(g, i)], np.int32
-        )
+            [self.flat_of[(int(gg), int(ii))] for gg, ii in zip(
+                g.reshape(-1), i.reshape(-1))],
+            np.int32,
+        ).reshape(np.shape(packed_indices))
         w = self.widths[flat]
         xs = (coord % w).astype(np.int32)
         ys = (coord // w).astype(np.int32)
+        return flat, ys, xs
+
+    def batch(self, packed_indices: np.ndarray) -> Dict[str, jnp.ndarray]:
+        flat, ys, xs = self.decode(packed_indices)
         flips = (
             self._np_rng.rand(len(flat)) < 0.5
         ).astype(np.int32) if self.augment else np.zeros(len(flat), np.int32)

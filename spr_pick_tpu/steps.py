@@ -101,6 +101,87 @@ def make_train_step(denoiser: Denoiser, alpha: float, tau: float):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_train_scan(denoiser: Denoiser, alpha: float, tau: float, crop: int):
+    """K train steps + the HBM patch gather compiled into ONE XLA program.
+
+    The host's only per-chunk work is sampling K*B packed indices (numpy)
+    and shipping three (K, B) int32 arrays; the gather from the
+    device-resident micrograph/heatmap stacks, the flip augment, both
+    flip-TTA forwards, losses, Adam and BN updates for all K steps run as a
+    single `lax.scan` — no per-step dispatch at all.
+    """
+    tx = make_optimizer()
+    half = crop // 2
+
+    def scan_steps(state: TrainState, images, hms, flat, ys, xs, lrs, rng):
+        """images/hms: (N, H, W) device stacks; flat/ys/xs: (K, B) int32;
+        lrs: (K,); rng: base key."""
+
+        def gather(n, y, x, flip):
+            patch = jax.lax.dynamic_slice(
+                images[n], (y - half, x - half), (crop, crop)
+            )
+            patch = jnp.where(flip > 0, jnp.flip(patch, axis=1), patch)
+            return patch, hms[n, y, x]
+
+        def body(state, inputs):
+            f, y, x, lr, key = inputs
+            k_flip, k_step = jax.random.split(key)
+            flips = jax.random.bernoulli(k_flip, 0.5, (f.shape[0],)).astype(
+                jnp.int32
+            )
+            patches, labels = jax.vmap(gather)(f, y, x, flips)
+            batch = {"inp": patches[..., None], "target": labels}
+
+            def loss_fn(trainable):
+                loss, (outputs, bn_updates) = denoiser.run_pipeline(
+                    trainable, state.static, batch, k_step, alpha, tau,
+                    train=True,
+                )
+                return loss, (outputs, bn_updates)
+
+            (loss, (outputs, bn_updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.trainable)
+            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            trainable = optax.apply_updates(state.trainable, updates)
+            static = state.static
+            if bn_updates is not None:
+                static = dict(static)
+                static["model"] = bn_updates
+            new_state = TrainState(
+                step=state.step + 1, trainable=trainable, static=static,
+                opt_state=opt_state,
+            )
+            metrics = {"loss": jnp.mean(outputs[PipelineOutput.LOSS])}
+            for key_ in (
+                PipelineOutput.DENOISE_LOSS,
+                PipelineOutput.DETECT_LOSS,
+                PipelineOutput.AUG_LOSS,
+            ):
+                if key_ in outputs:
+                    metrics[key_.value] = jnp.mean(outputs[key_])
+            if PipelineOutput.NOISE_STD_DEV in outputs:
+                metrics[PipelineOutput.NOISE_STD_DEV.value] = jnp.mean(
+                    outputs[PipelineOutput.NOISE_STD_DEV]
+                )
+            if PipelineOutput.MODEL_STD_DEV in outputs:
+                metrics[PipelineOutput.MODEL_STD_DEV.value] = jnp.mean(
+                    outputs[PipelineOutput.MODEL_STD_DEV]
+                )
+            return new_state, metrics
+
+        k = flat.shape[0]
+        keys = jax.random.split(rng, k)
+        state, metrics = jax.lax.scan(
+            body, state, (flat, ys, xs, lrs, keys)
+        )
+        return state, metrics
+
+    return jax.jit(scan_steps, donate_argnums=(0,))
+
+
 def make_eval_step(denoiser: Denoiser, dense: bool = True):
     """Build the jitted dense-inference eval step (no grads, no BN update).
 

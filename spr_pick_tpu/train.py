@@ -84,6 +84,7 @@ class DenoiserTrainer:
         self.denoiser: Optional[Denoiser] = None
         self.train_state: Optional[TrainState] = None
         self._train_step = None
+        self._train_scan = None
         self._eval_step = None
         self._writer: Optional[ScalarWriter] = None
         self._rng_key = None
@@ -118,6 +119,7 @@ class DenoiserTrainer:
         )
         self._rng_key = jax.random.PRNGKey(seed + 1)
         self._train_step = None
+        self._train_scan = None
         self._eval_step = None
         self._setup_mesh()
         self.init_state()
@@ -322,6 +324,15 @@ class DenoiserTrainer:
 
         if self._train_step is None:
             self._train_step = make_train_step(self.denoiser, self.alpha, self.tau)
+        if self._train_scan is None and isinstance(
+            self.patch_pipeline, DevicePatchPipeline
+        ):
+            from spr_pick_tpu.steps import make_train_scan
+
+            self._train_scan = make_train_scan(
+                self.denoiser, self.alpha, self.tau,
+                crop=self.cfg[ConfigValue.TRAIN_PATCH_SIZE],
+            )
 
         history = self.state[StateValue.HISTORY]
         batch_size = self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE]
@@ -360,6 +371,38 @@ class DenoiserTrainer:
             if iteration >= self.cfg[ConfigValue.ITERATIONS]:
                 break
 
+            k_steps = self._chunk_steps(iteration, batch_size)
+            if k_steps > 1 and self._can_scan():
+                # Scan-chunked fast path: K steps + gather in ONE program.
+                k = k_steps
+                packed = self.train_sampler.sample_batch(k * batch_size)
+                flat, ys, xs = self.patch_pipeline.decode(
+                    packed.reshape(k, batch_size)
+                )
+                lrs = jnp.asarray(
+                    [
+                        compute_ramped_lrate(
+                            iteration + i * batch_size,
+                            self.cfg[ConfigValue.ITERATIONS],
+                            self.cfg[ConfigValue.LR_RAMPDOWN_FRACTION],
+                            self.cfg[ConfigValue.LR_RAMPUP_FRACTION],
+                            1e-4,
+                        )
+                        for i in range(k)
+                    ],
+                    jnp.float32,
+                )
+                self.train_state, metrics = self._train_scan(
+                    self.train_state,
+                    self.patch_pipeline.images_dev,
+                    self.patch_pipeline.hms_dev,
+                    jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs),
+                    lrs, self._next_rng(),
+                )
+                pending_metrics.append((metrics, k))
+                self.state[StateValue.ITERATION] += k * batch_size
+                continue
+
             if self.train_sampler is not None:
                 batch = self.patch_pipeline.batch(
                     self.train_sampler.sample_batch(batch_size)
@@ -377,7 +420,7 @@ class DenoiserTrainer:
             self.train_state, metrics = self._train_step(
                 self.train_state, batch, rng, lr
             )
-            pending_metrics.append(metrics)
+            pending_metrics.append((metrics, 1))
 
             self.state[StateValue.ITERATION] += batch_size
 
@@ -394,27 +437,53 @@ class DenoiserTrainer:
             model_only=True,
         )
 
+    def _chunk_steps(self, iteration: int, batch_size: int) -> int:
+        """Steps until the next eval/print/snapshot/end boundary."""
+        intervals = [
+            self.cfg[ConfigValue.PRINT_INTERVAL],
+            self.cfg[ConfigValue.SNAPSHOT_INTERVAL],
+        ]
+        if self.testset is not None:
+            intervals.append(self.cfg[ConfigValue.EVAL_INTERVAL])
+        boundary = min(
+            ((iteration // iv) + 1) * iv for iv in intervals if iv > 0
+        )
+        boundary = min(boundary, self.cfg[ConfigValue.ITERATIONS])
+        return max((boundary - iteration) // batch_size, 1)
+
+    def _can_scan(self) -> bool:
+        return (
+            self.train_sampler is not None
+            and isinstance(self.patch_pipeline, DevicePatchPipeline)
+            and self.mesh is None
+            and self._train_scan is not None
+        )
+
     def _flush_metrics(self, pending, batch_size: int):
-        """Materialise buffered per-step device metrics into the history."""
+        """Materialise buffered device metrics (per-step dicts or scan-stacked
+        dicts) into the history."""
+
+        def as_batched(value):
+            arr = np.asarray(value)
+            return arr.reshape(1) if arr.ndim == 0 else arr
+
         train_history = self.state[StateValue.HISTORY][HistoryValue.TRAIN]
-        for metrics in pending:
-            train_history["n"] += batch_size
-            train_history["loss"] += np.asarray(metrics["loss"])
+        for metrics, steps in pending:
+            train_history["n"] += batch_size * steps
+            train_history["loss"] += as_batched(metrics["loss"])
             if "denoise_loss" in metrics:
-                train_history["denoise_loss"] += np.asarray(
+                train_history["denoise_loss"] += as_batched(
                     metrics["denoise_loss"]
                 )
             for key in ("det_loss", "aug_loss"):
                 if key in metrics:
-                    train_history[key] += np.asarray(metrics[key]).reshape(1)
+                    train_history[key] += as_batched(metrics[key])
             for key in (
                 PipelineOutput.NOISE_STD_DEV.value,
                 PipelineOutput.MODEL_STD_DEV.value,
             ):
                 if key in metrics:
-                    train_history[key] += (
-                        np.asarray(metrics[key]).reshape(1) * 255
-                    )
+                    train_history[key] += as_batched(metrics[key]) * 255
         pending.clear()
 
     # ------------------------------------------------------------------
@@ -633,6 +702,7 @@ class DenoiserTrainer:
         else:
             self._rng_key = jax.random.PRNGKey(0)
         self._train_step = None
+        self._train_scan = None
         self._eval_step = None
         self._setup_mesh()
 
