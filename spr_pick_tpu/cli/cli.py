@@ -75,6 +75,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     start.add_argument("--dn_only", action="store_true", help="denoising only")
     start.add_argument("--runs_dir", default=cfg_mod.DEFAULT_RUN_DIR)
+    start.add_argument("--profile", action="store_true",
+                       help="Capture a jax profiler trace of the first print window")
 
     resume = train_sub.add_parser("resume", help="Resume a training run")
     resume.add_argument("run_dir", help="Run directory to resume")
@@ -144,12 +146,15 @@ def run_train(args: Dict):
             cfg[ConfigValue.BB] = args["bb"]
         if args.get("nms") is not None:
             cfg[ConfigValue.NMS] = args["nms"]
+        profile = bool(args.get("profile"))
         if args["dn_only"]:
-            trainer = DenoiserTrainer(cfg, mode="denoise", runs_dir=args["runs_dir"])
+            trainer = DenoiserTrainer(
+                cfg, mode="denoise", runs_dir=args["runs_dir"], profile=profile
+            )
         else:
             trainer = DenoiserTrainer(
                 cfg, mode="joint", alpha=args["alpha"], tau=args["tau"],
-                runs_dir=args["runs_dir"],
+                runs_dir=args["runs_dir"], profile=profile,
             )
     else:
         trainer = resume_run(args["run_dir"])

@@ -68,7 +68,9 @@ class DenoiserTrainer:
         tau: float = 0.01,
         runs_dir: str = DEFAULT_RUN_DIR,
         run_dir: Optional[str] = None,
+        profile: bool = False,
     ):
+        self.profile = profile
         self.cfg = cfg
         if self.cfg:
             cfg_mod.infer(self.cfg)
@@ -342,6 +344,14 @@ class DenoiserTrainer:
         # actual step compute at batch 4).
         pending_metrics = []
 
+        # Optional profiler capture of the first print window (jax trace,
+        # viewable in TensorBoard/Perfetto).  SURVEY.md §5: the reference has
+        # no profiling surface; here it is a first-class flag.
+        profiling = False
+        if self.profile:
+            jax.profiler.start_trace(os.path.join(self.run_dir_path, "profile"))
+            profiling = True
+
         while True:
             iteration = self.state[StateValue.ITERATION]
 
@@ -353,6 +363,11 @@ class DenoiserTrainer:
                 self._evaluate(output_callback=self.validation_output_callback(0))
             if iteration % self.cfg[ConfigValue.PRINT_INTERVAL] == 0:
                 self._flush_metrics(pending_metrics, batch_size)
+                if profiling and iteration > 0:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("profiler trace written to %s",
+                                os.path.join(self.run_dir_path, "profile"))
                 history[HistoryValue.TIMINGS]["total"].update()
                 last_print = history[HistoryValue.TIMINGS]["last_print"]
                 last_print.update()
@@ -425,6 +440,8 @@ class DenoiserTrainer:
             self.state[StateValue.ITERATION] += batch_size
 
         self._flush_metrics(pending_metrics, batch_size)
+        if profiling:
+            jax.profiler.stop_trace()
 
         logger.info(separator())
         logger.info("TRAINING FINISHED")
@@ -516,9 +533,14 @@ class DenoiserTrainer:
                 group.append(nxt)
 
             inp = np.concatenate([it["inp"] for it in group], axis=0)
-            outputs = self._eval_step(
-                self.train_state, {"inp": jnp.asarray(inp)}, self._next_rng()
-            )
+            batch = {"inp": jnp.asarray(inp)}
+            rng = self._next_rng()
+            if self.mesh is not None and inp.shape[0] % self.mesh.devices.size == 0:
+                from spr_pick_tpu.parallel.mesh import replicate, shard_batch
+
+                batch = shard_batch(batch, self.mesh)
+                rng = replicate(rng, self.mesh)
+            outputs = self._eval_step(self.train_state, batch, rng)
             for j, item in enumerate(group):
                 per = {
                     k: v[j : j + 1]
