@@ -129,7 +129,11 @@ class JointNetwork(nn.Module):
 
         mu_x = out_stats[..., 0 : self.in_channels]
         a_c = out_stats[..., self.in_channels : self.out_channels]
-        sigma_x = a_c ** 2
+        # For multi-channel (triangular-A) outputs use the leading
+        # in_channels of A for the per-channel sample scale; the reference's
+        # reparameterize would shape-crash there (joint_network_v2.py:469-475
+        # assumes out_channels = 2 * in_channels).
+        sigma_x = a_c[..., 0 : self.in_channels] ** 2
         # Sampling happens in eval too (the reference always reparameterises,
         # joint_network_v2.py:469-475).
         epsilon = jax.random.normal(self.make_rng("sample"), mu_x.shape, mu_x.dtype)

@@ -89,3 +89,20 @@ def test_eval_psnr_with_gt(tmp_path, rng):
     trainer.train()
     eval_hist = trainer.state[StateValue.HISTORY][HistoryValue.EVAL]
     assert "psnr_out" in eval_hist
+
+
+def test_ssdn_three_channel_full_covariance(rng):
+    """3-channel ssdn denoise-only path (full triangular-A covariance)."""
+    c = cfg_mod.base()
+    c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    c[ConfigValue.NOISE_STYLE] = "gauss25"
+    c[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
+    c[ConfigValue.IMAGE_CHANNELS] = 3
+    cfg_mod.infer(c, model_only=True)
+    den = Denoiser(c, mode="denoise")
+    assert den.out_channels == 9  # 3 means + 6 triangular A
+    state = init_state(den, seed=0)
+    step = make_train_step(den, alpha=0.0, tau=0.0)
+    batch = {"inp": jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)}
+    state2, metrics = step(state, batch, jax.random.PRNGKey(0), jnp.float32(1e-4))
+    assert np.isfinite(float(np.mean(metrics["loss"])))
