@@ -1,16 +1,20 @@
 """Enumerations shared across the framework.
 
-Parity: mirrors the reference enum surface (`spr_pick/params.py:7-110`) so that
-configs, checkpoints and CLI flags translate one-to-one.  Values that the
-reference spells as strings keep the same strings (checkpoint/config parity).
+The enum *surface* (member names, and the string values used in CLIs,
+config names and checkpoints) mirrors the reference (`spr_pick/params.py`)
+so configs and run names translate one-to-one.  Members whose concrete
+values never leave the process (ConfigValue / StateValue / ...) are built
+with the functional Enum API from name tables.
 """
 
 from __future__ import annotations
 
-from enum import Enum, auto
+from enum import Enum
 
 
 class NoiseAlgorithm(Enum):
+    """Training algorithm selector (CLI `--algorithm`)."""
+
     SELFSUPERVISED_DENOISING = "ssdn"
     SELFSUPERVISED_DENOISING_MEAN_ONLY = "ssdn_u_only"
     NOISE_TO_NOISE = "n2n"
@@ -19,6 +23,8 @@ class NoiseAlgorithm(Enum):
 
 
 class NoiseValue(Enum):
+    """How the noise sigma is obtained (CLI `--noise_value`)."""
+
     UNKNOWN_CONSTANT = "const"
     UNKNOWN_VARIABLE = "var"
     KNOWN = "known"
@@ -30,6 +36,8 @@ class Loss(Enum):
 
 
 class Pipeline(Enum):
+    """Which loss pipeline the engine dispatches to."""
+
     MSE = "mse"
     SSDN = "ssdn"
     MASK_MSE = "mask_mse"
@@ -40,86 +48,49 @@ class Blindspot(Enum):
     DISABLED = "normal"
 
 
-class ConfigValue(Enum):
-    INFER_CFG = auto()
-    ALGORITHM = auto()
-    BLINDSPOT = auto()
-    PIPELINE = auto()
-    IMAGE_CHANNELS = auto()
-
-    NOISE_STYLE = auto()
-    BB = auto()
-    LEARNING_RATE = auto()
-    LR_RAMPUP_FRACTION = auto()
-    LR_RAMPDOWN_FRACTION = auto()
-    DETECTLOSS = auto()
-    NOISE_VALUE = auto()
-    DIAGONAL_COVARIANCE = auto()
-    NMS = auto()
-
-    EVAL_INTERVAL = auto()
-    PRINT_INTERVAL = auto()
-    SNAPSHOT_INTERVAL = auto()
-    ITERATIONS = auto()
-    DATALOADER_WORKERS = auto()
-    TRAIN_DATASET_NAME = auto()
-    TRAIN_DATASET_TYPE = auto()
-    TRAIN_GT_PATH = auto()
-    TRAIN_DATA_PATH = auto()
-    TRAIN_LABEL_PATH = auto()
-    TRAIN_PATCH_SIZE = auto()
-    TRAIN_MINIBATCH_SIZE = auto()
-    TEST_GT_PATH = auto()
-    TEST_DATASET_NAME = auto()
-    TEST_DATASET_TYPE = auto()
-    TEST_DATA_PATH = auto()
-    TEST_LABEL_PATH = auto()
-    TEST_MINIBATCH_SIZE = auto()
-    PIN_DATA_MEMORY = auto()
-    JOINT_LR = auto()
-    ALPHA = auto()
-    FRACTION = auto()
-    NUM_EVAL = auto()
-    TAU = auto()
-    # --- TPU-native additions (not present in the reference) ---
-    MESH_SHAPE = auto()          # data-parallel mesh size (int) or None for all devices
-    DEVICE_DATA_PATH = auto()    # keep micrograph stack resident in HBM
-    MAX_PEAKS = auto()           # static cap for on-device NMS output
-    SEED = auto()                # base PRNG seed
-    COMPUTE_DTYPE = auto()       # "bf16" or "f32" model computation dtype
+def _auto_enum(name: str, members: str) -> type:
+    return Enum(name, [(m, i) for i, m in enumerate(members.split(), 1)])
 
 
-class DatasetType(Enum):
-    HDF5 = auto()
-    FOLDER = auto()
-    TXT = auto()
+# Configuration keys.  The first block is the reference surface; the
+# trailing TPU-native block (MESH_SHAPE..COMPUTE_DTYPE) is new here.
+ConfigValue = _auto_enum(
+    "ConfigValue",
+    """
+    INFER_CFG ALGORITHM BLINDSPOT PIPELINE IMAGE_CHANNELS
+    NOISE_STYLE BB LEARNING_RATE LR_RAMPUP_FRACTION LR_RAMPDOWN_FRACTION
+    DETECTLOSS NOISE_VALUE DIAGONAL_COVARIANCE NMS
+    EVAL_INTERVAL PRINT_INTERVAL SNAPSHOT_INTERVAL ITERATIONS
+    DATALOADER_WORKERS
+    TRAIN_DATASET_NAME TRAIN_DATASET_TYPE TRAIN_GT_PATH TRAIN_DATA_PATH
+    TRAIN_LABEL_PATH TRAIN_PATCH_SIZE TRAIN_MINIBATCH_SIZE
+    TEST_GT_PATH TEST_DATASET_NAME TEST_DATASET_TYPE TEST_DATA_PATH
+    TEST_LABEL_PATH TEST_MINIBATCH_SIZE
+    PIN_DATA_MEMORY JOINT_LR ALPHA FRACTION NUM_EVAL TAU
+    MESH_SHAPE DEVICE_DATA_PATH MAX_PEAKS SEED COMPUTE_DTYPE
+    """,
+)
 
+DatasetType = _auto_enum("DatasetType", "HDF5 FOLDER TXT")
 
-class StateValue(Enum):
-    INITIALISED = auto()
-    MODE = auto()
+StateValue = _auto_enum(
+    "StateValue", "INITIALISED MODE ITERATION REFERENCE HISTORY"
+)
 
-    ITERATION = auto()
-    REFERENCE = auto()
-    HISTORY = auto()
-
-
-class HistoryValue(Enum):
-    TRAIN = auto()
-    EVAL = auto()
-    TIMINGS = auto()
+HistoryValue = _auto_enum("HistoryValue", "TRAIN EVAL TIMINGS")
 
 
 class PipelineOutput(Enum):
     """Pipeline output keys.  Totally ordered by name so dicts keyed by this
-    enum are valid JAX pytrees (jit sorts dictionary keys)."""
+    enum are valid JAX pytrees (jit sorts dictionary keys).  String values
+    are the metric/artifact names the reference uses."""
 
     def __lt__(self, other):
         if isinstance(other, PipelineOutput):
             return self.name < other.name
         return NotImplemented
 
-    INPUTS = auto()
+    INPUTS = "inputs"
     LOSS = "loss"
     DETECT_LOSS = "det_loss"
     DENOISE_LOSS = "denoise_loss"
