@@ -239,17 +239,25 @@ class MicrographDataset:
         return patch, label, self.names[g][i]
 
     def test_item(self, index: int, pad_multiple: int = 32):
-        """Whole padded micrograph + metadata (micrograph.py:128-164)."""
+        """Whole padded micrograph + metadata (micrograph.py:128-164).
+
+        Carries the half-resolution heatmap `hm_small` like the reference
+        test items (image_wrapper.py:18-22 HM_SMALL slot), padded to
+        pad_multiple//2 (half the full-res pad grid, as in the reference).
+        """
         img = self.images[0][index]
         hm = self.hms[0][index]
+        hm_small = self.hms_small[0][index]
         padded, shape = pad_to_multiple(img, pad_multiple)
         hm_p, _ = pad_to_multiple(hm, pad_multiple)
+        hm_s_p, _ = pad_to_multiple(hm_small, max(pad_multiple // 2, 1))
         gt = None
         if self.gts:
             gt = self.gts[0][index]
         return {
             "inp": padded[None, :, :, None],
             "hm": hm_p[None, :, :, None],
+            "hm_small": hm_s_p[None, :, :, None],
             "image_shape": shape,
             "name": self.names[0][index],
             "gt": gt,

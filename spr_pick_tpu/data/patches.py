@@ -86,6 +86,7 @@ class UnlabeledEvalDataset:
         return {
             "inp": padded[None, :, :, None],
             "hm": None,
+            "hm_small": None,
             "image_shape": shape,
             "name": self.dataset.name(index),
             "gt": gt,

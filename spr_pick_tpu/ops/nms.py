@@ -230,13 +230,239 @@ def non_maximum_suppression_waves(
     return scores, coords, count
 
 
+@partial(jax.jit, static_argnames=("radius", "threshold", "max_peaks", "wave_width"))
+def non_maximum_suppression_multipeak(
+    heatmap: jnp.ndarray,
+    radius: int,
+    threshold: float = -jnp.inf,
+    max_peaks: int = 2048,
+    wave_width: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact greedy NMS taking MANY mutually-safe picks per iteration.
+
+    Hybrid of the blocked pyramid and the wave insight: tile the map into
+    blocks of side b >= radius and keep per-block maxima.  A block maximum
+    that beats the maxima of its 8 neighbouring blocks (lexicographic
+    tie-break) is a guaranteed greedy pick — every unsuppressed pixel
+    within `radius` of it lies in that 3x3 block neighbourhood — and two
+    such winners sit in blocks >= 2 apart, i.e. > radius apart, so they
+    cannot suppress each other.  Each wave therefore takes up to
+    `wave_width` such picks at once: one batched scatter-min stamps all
+    their suppression disks, one batched gather recomputes the affected
+    3x3 block maxima from post-suppression memory.  The serial chain is
+    O(#waves) (~tens) instead of O(#picks) (~thousands), and each wave
+    touches only O(wave_width * (3b)^2) elements, not the full map.
+
+    Greedy parity: the union of waves is exactly the greedy pick set
+    (the current global maximum is always taken each wave), and greedy
+    emits picks in descending score order, so the final top-k by score
+    reproduces the capped greedy output.  Ties are broken exactly like
+    the reference's ``argsort(flat)[::-1]``: among equal scores the
+    higher flat pixel index is picked first — enforced in the
+    within-block argmax, the between-block selection, and the final
+    ordering, so even tied pick sets match bit-for-bit.
+    """
+    h, w = heatmap.shape
+    neg = jnp.float32(-jnp.inf)
+    # Picked pixels are marked IN the work map with a finite sentinel: a
+    # pick is never inside another pick's suppression disk (same wave:
+    # > radius apart by construction; later waves: a pick within radius of
+    # an earlier one would itself have been suppressed), so the mark can
+    # never be overwritten by the scatter-min.  This removes a whole
+    # scatter per wave.  Scores <= -1e38 are treated as below any
+    # threshold (MARK lives at -2e38).
+    MARK = jnp.float32(-2e38)
+    thr = max(float(threshold), -1e38)
+    b = 16
+    while b < radius:
+        b += 8
+    pad = b
+    hp = ((h + b - 1) // b) * b
+    wp = ((w + b - 1) // b) * b
+    HP, WP = hp + 2 * pad, wp + 2 * pad
+    nby, nbx = HP // b, WP // b
+    nblocks = nby * nbx
+    wave_width = min(wave_width, nblocks)
+    win = 3 * b  # suppression/repair window: the 3x3 block neighbourhood
+
+    work = jnp.full((HP, WP), neg, jnp.float32)
+    work = jax.lax.dynamic_update_slice(
+        work, heatmap.astype(jnp.float32), (pad, pad)
+    )
+
+    def argmax_hi(v):
+        # argmax preferring the HIGHEST index among ties (greedy tie order)
+        return (v.shape[-1] - 1) - v[..., ::-1].argmax(-1).astype(jnp.int32)
+
+    def block_stats(wk):
+        v = wk.reshape(nby, b, nbx, b).transpose(0, 2, 1, 3).reshape(
+            nby, nbx, b * b
+        )
+        return v.max(-1), argmax_hi(v)
+
+    bmax, barg = block_stats(work)
+
+    # Suppression window: exactly the (2r+1)^2 disk bounding box.
+    sup_win = 2 * radius + 1
+    sy_rel = jax.lax.broadcasted_iota(jnp.int32, (sup_win, sup_win), 0) - radius
+    sx_rel = jax.lax.broadcasted_iota(jnp.int32, (sup_win, sup_win), 1) - radius
+    disk = (sy_rel ** 2 + sx_rel ** 2) <= radius * radius
+
+    byg = jax.lax.broadcasted_iota(jnp.int32, (nby, nbx), 0)
+    bxg = jax.lax.broadcasted_iota(jnp.int32, (nby, nbx), 1)
+
+    def select(bmax_, barg_):
+        # Tie-break on the pick's flat map position: greedy (argsort
+        # reversed) takes the HIGHER flat index first among equal scores.
+        pkey = (byg * b + barg_ // b) * WP + (bxg * b + barg_ % b)
+        grid = jnp.pad(bmax_, 1, constant_values=neg)
+        kgrid = jnp.pad(pkey, 1, constant_values=-1)
+        sel = bmax_ > thr
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nv = jax.lax.dynamic_slice(grid, (1 + dy, 1 + dx), (nby, nbx))
+                nk = jax.lax.dynamic_slice(kgrid, (1 + dy, 1 + dx), (nby, nbx))
+                sel &= (bmax_ > nv) | ((bmax_ == nv) & (pkey > nk))
+        return sel
+
+    def cond(state):
+        work, bstats, k, min_s = state
+        remaining = jnp.max(bstats[..., 0])
+        # Exact early stop: once >= max_peaks picks are collected and every
+        # remaining candidate scores strictly below every collected pick,
+        # the final top-k cannot change (ties could still displace via the
+        # flat-index order, hence strict <).
+        done = (k >= max_peaks) & (remaining < min_s)
+        return (remaining > thr) & ~done
+
+    def body(state):
+        work, bstats, k, min_s = state
+        bmax = bstats[..., 0]
+        barg = bstats[..., 1].astype(jnp.int32)
+        sel = select(bmax, barg)
+        cand = jnp.where(sel, bmax, neg).reshape(-1)
+        vals, bidx = jax.lax.top_k(cand, wave_width)
+        valid = vals > neg
+
+        by = (bidx // nbx).astype(jnp.int32)
+        bx = (bidx % nbx).astype(jnp.int32)
+        t = barg.reshape(-1)[bidx]
+        py = by * b + t // b
+        px = bx * b + t % b
+
+        k = k + jnp.sum(valid.astype(jnp.int32))
+        min_s = jnp.minimum(min_s, jnp.min(jnp.where(valid, vals, jnp.inf)))
+
+        # Batched disk suppression + pick marking: ONE scatter-min over all
+        # picks' disk bounding boxes (the apron guarantees in-bounds
+        # windows).  The window centre writes MARK instead of -inf,
+        # permanently tagging the pick in place.
+        wy = py[:, None, None] + sy_rel[None]
+        wx = px[:, None, None] + sx_rel[None]
+        centre = (sy_rel == 0) & (sx_rel == 0)
+        sup_vals = jnp.where(
+            disk[None] & valid[:, None, None],
+            jnp.where(centre[None], MARK, neg),
+            jnp.float32(jnp.inf),
+        )
+        sup_idx = jnp.where(valid[:, None, None], wy * WP + wx, 0)
+        work_flat = work.reshape(-1).at[sup_idx.reshape(-1)].min(
+            sup_vals.reshape(-1)
+        )
+        work = work_flat.reshape(HP, WP)
+        oy = jnp.where(valid, (by - 1) * b, 0)
+        ox = jnp.where(valid, (bx - 1) * b, 0)
+
+        # Repair: recompute the 3x3 block stats around every pick from the
+        # post-suppression map (reads depend on the scatter above, so no
+        # stale values even when picks share affected blocks).
+        def repair(o_y, o_x):
+            tile = jax.lax.dynamic_slice(work, (o_y, o_x), (win, win))
+            v = tile.reshape(3, b, 3, b).transpose(0, 2, 1, 3).reshape(9, b * b)
+            return v.max(-1), argmax_hi(v)
+
+        rmax, rarg = jax.vmap(repair)(oy, ox)  # (C, 9)
+        di = jnp.arange(9, dtype=jnp.int32) // 3
+        dj = jnp.arange(9, dtype=jnp.int32) % 3
+        blk = (by[:, None] - 1 + di[None]) * nbx + (bx[:, None] - 1 + dj[None])
+        blk = jnp.where(valid[:, None], blk, 0)
+        rstats = jnp.stack(
+            [
+                jnp.where(valid[:, None], rmax, neg),
+                jnp.where(valid[:, None], rarg, 0).astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        bstats = bstats.reshape(nblocks, 2).at[blk.reshape(-1)].set(
+            rstats.reshape(-1, 2)
+        ).reshape(nby, nbx, 2)
+        return work, bstats, k, min_s
+
+    bstats0 = jnp.stack([bmax, barg.astype(jnp.float32)], axis=-1)
+    work, _, _, _ = jax.lax.while_loop(
+        cond, body, (work, bstats0, jnp.int32(0), jnp.float32(jnp.inf))
+    )
+
+    picked2d = (work == MARK)[pad : pad + h, pad : pad + w]
+    flat_scores = jnp.where(picked2d, heatmap.astype(jnp.float32), neg).reshape(-1)
+    # Emit equal scores in descending flat-index order like the reference's
+    # argsort(flat)[::-1] (top_k alone breaks ties the other way round).
+    top_scores, flip_idx = jax.lax.top_k(flat_scores[::-1], max_peaks)
+    top_idx = (h * w - 1) - flip_idx
+    valid = top_scores > thr
+    count = jnp.sum(valid.astype(jnp.int32))
+    scores = jnp.where(valid, top_scores, 0.0)
+    coords = jnp.stack(
+        [
+            jnp.where(valid, top_idx % w, 0).astype(jnp.int32),
+            jnp.where(valid, top_idx // w, 0).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    return scores, coords, count
+
+
+def nms_batch_to_host(
+    heatmaps, radius: int, threshold: float = 0.02, max_peaks: int = 2048
+):
+    """Greedy NMS over a (B, H, W) batch in ONE device program.
+
+    vmap of the multipeak kernel: every wave processes all B maps at once,
+    amortising the per-op dispatch cost across the batch (the while_loop
+    runs until the slowest map converges; finished maps are carried
+    unchanged).  Returns a list of (scores, coords) numpy pairs.  Order
+    among exactly-equal scores may differ from the unbatched kernel (the
+    batched top_k lowering breaks ties differently); the pick sets and
+    scores are identical.
+    """
+    heatmaps = jnp.asarray(heatmaps)
+    fn = jax.vmap(
+        partial(
+            non_maximum_suppression_multipeak,
+            radius=radius,
+            threshold=threshold,
+            max_peaks=max_peaks,
+        )
+    )
+    scores, coords, counts = jax.jit(fn)(heatmaps)
+    counts = np.asarray(counts)
+    scores = np.asarray(scores)
+    coords = np.asarray(coords)
+    return [
+        (scores[i, : counts[i]], coords[i, : counts[i]])
+        for i in range(heatmaps.shape[0])
+    ]
+
+
 def nms_to_host(
     heatmap, radius: int, threshold: float = 0.02, max_peaks: int = 2048
 ):
-    """Run device NMS (blocked fast path) and return trimmed numpy arrays."""
+    """Run device NMS (multipeak fast path) and return trimmed numpy arrays."""
     heatmap = jnp.asarray(heatmap)
-    if radius < 128 and min(heatmap.shape) >= 256:
-        scores, coords, count = non_maximum_suppression_blocked(
+    if min(heatmap.shape) >= 256:
+        scores, coords, count = non_maximum_suppression_multipeak(
             heatmap, radius, threshold, max_peaks
         )
     else:
@@ -252,10 +478,15 @@ def non_maximum_suppression_np(x: np.ndarray, r: int, threshold=-np.inf):
 
     Greedy over descending scores with disk suppression — re-implemented
     with a vectorised disk mask rather than a python coordinate set.
+    Tie order: the reference's `np.argsort(...)[::-1]` uses an UNSTABLE
+    quicksort, so its order among equal scores is unspecified; here a
+    stable sort is used, making ties deterministic (higher flat index
+    first) and matching `non_maximum_suppression_multipeak` bit-for-bit
+    even on quantised score maps.
     """
     h, w = x.shape
     flat = x.ravel()
-    order = np.argsort(flat)[::-1]
+    order = np.argsort(flat, kind="stable")[::-1]
     suppressed = np.zeros((h, w), dtype=bool)
     yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
     disk = (yy ** 2 + xx ** 2) <= r * r

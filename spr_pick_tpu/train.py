@@ -899,14 +899,26 @@ class DenoiserTrainer:
         return "-".join(lst)
 
 
-def resume_run(run_dir: str, iteration: int = None, mode: str = "joint") -> DenoiserTrainer:
+def resume_run(run_dir: str, iteration: int = None, mode: str = None) -> DenoiserTrainer:
     """Resume training from the latest `.training` snapshot.
 
     Parity: train.py:1204-1242 — with the `mode` argument actually supplied
-    (the reference omits it and would raise; SURVEY.md §7.4).
+    (the reference omits it and would raise; SURVEY.md §7.4).  When ``mode``
+    is None it is auto-detected from the run directory: a `training_jt/`
+    subdir means a joint run, `training_dn/` a denoise-only (`--dn_only`)
+    run — so the CLI can resume either kind without a flag.
     """
     run_dir = os.path.abspath(run_dir)
     runs_dir = os.path.abspath(os.path.join(run_dir, ".."))
+    if mode is None:
+        if os.path.isdir(os.path.join(run_dir, "training_jt")):
+            mode = "joint"
+        elif os.path.isdir(os.path.join(run_dir, "training_dn")):
+            mode = "denoise"
+        else:
+            raise FileNotFoundError(
+                f"no training_jt/ or training_dn/ snapshots under {run_dir}"
+            )
     subdir = "training_jt" if mode == "joint" else "training_dn"
     path = ckpt.find_latest_training(run_dir, subdir)
     logger.info("Loading from '%s'...", path)

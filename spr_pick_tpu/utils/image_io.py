@@ -50,31 +50,30 @@ def save_array_image_filtered(img: np.ndarray, path: str, kernel_size: int = 9):
 
 
 class ScalarWriter:
-    """Tensorboard-or-JSONL scalar writer with purge-on-resume semantics."""
+    """TensorBoard + JSONL scalar writer with purge-on-resume semantics.
+
+    Always writes real tfevents records (pure-Python writer, no torch
+    needed — `utils/tfevents.py`) so any run dir is TensorBoard-readable,
+    matching the reference's always-on SummaryWriter (train.py:819-835);
+    a `scalars.jsonl` sink is kept alongside for grep-ability.
+    """
 
     def __init__(self, log_dir: str, purge_step: Optional[int] = None):
+        from spr_pick_tpu.utils.tfevents import TFEventWriter
+
         os.makedirs(log_dir, exist_ok=True)
         self.log_dir = log_dir
-        self._tb = None
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-
-            self._tb = SummaryWriter(log_dir=log_dir, purge_step=purge_step)
-        except Exception:
-            self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+        self._tb = TFEventWriter(log_dir, purge_step=purge_step)
+        self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
 
     def add_scalar(self, tag: str, value, step: int):
         value = float(np.asarray(value))
-        if self._tb is not None:
-            self._tb.add_scalar(tag, value, step)
-        else:
-            self._jsonl.write(
-                json.dumps({"tag": tag, "value": value, "step": step}) + "\n"
-            )
-            self._jsonl.flush()
+        self._tb.add_scalar(tag, value, step)
+        self._jsonl.write(
+            json.dumps({"tag": tag, "value": value, "step": step}) + "\n"
+        )
+        self._jsonl.flush()
 
     def close(self):
-        if self._tb is not None:
-            self._tb.close()
-        else:
-            self._jsonl.close()
+        self._tb.close()
+        self._jsonl.close()

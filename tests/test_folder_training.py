@@ -40,3 +40,12 @@ def test_folder_n2c_training(tmp_path, rng):
     # eval artifacts from the unlabeled eval dataset
     val_dir = os.path.join(run_dir, "val_imgs_denoise")
     assert any(f.endswith(".png") for f in os.listdir(val_dir))
+
+    # CLI-style resume of a --dn_only run: mode is auto-detected from the
+    # run dir (training_dn/), no flag needed (reference train.py:1204-1242
+    # could only resume joint runs).
+    from spr_pick_tpu.train import resume_run
+
+    trainer2 = resume_run(run_dir)
+    assert trainer2.mode == "denoise"
+    assert trainer2.iteration == 16

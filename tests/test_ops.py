@@ -5,8 +5,10 @@ import pytest
 
 from spr_pick_tpu.ops.heatmap import as_gaussian, as_mask, gaussian_radius
 from spr_pick_tpu.ops.nms import (
+    nms_batch_to_host,
     nms_to_host,
     non_maximum_suppression_blocked,
+    non_maximum_suppression_multipeak,
     non_maximum_suppression_np,
     non_maximum_suppression_waves,
 )
@@ -82,6 +84,59 @@ def test_wave_nms_matches_oracle(rng):
     mism = (c_ref != np_.asarray(c[:n])).any(axis=1)
     for i in np_.nonzero(mism)[0]:
         assert x[c[i][1], c[i][0]] == s_ref[i]
+
+
+@pytest.mark.parametrize(
+    "shape,radius,threshold,cap",
+    [
+        ((300, 200), 15, 0.02, 4096),
+        ((300, 200), 15, 0.02, 64),     # cap + early-stop path
+        ((256, 256), 7, 0.3, 100),
+        ((100, 90), 21, 0.5, 4096),     # radius > base block, tiny grid
+    ],
+)
+def test_multipeak_nms_exact_vs_oracle(rng, shape, radius, threshold, cap):
+    import jax.numpy as jnp
+
+    x = rng.rand(*shape).astype(np.float32)
+    s_ref, c_ref = non_maximum_suppression_np(x, radius, threshold)
+    s, c, n = non_maximum_suppression_multipeak(
+        jnp.asarray(x), radius, threshold, max_peaks=cap
+    )
+    n = int(n)
+    k = min(len(s_ref), cap)
+    assert n == k
+    np.testing.assert_array_equal(np.asarray(s[:n]), s_ref[:k])
+    np.testing.assert_array_equal(np.asarray(c[:n]), c_ref[:k])
+
+
+def test_multipeak_nms_exact_on_ties(rng):
+    """Quantised scores force massive exact-score ties; the multipeak kernel
+    and the (stable) oracle agree bit-for-bit including emission order."""
+    import jax.numpy as jnp
+
+    x = np.round(rng.rand(200, 220) * 20).astype(np.float32) / 20
+    s_ref, c_ref = non_maximum_suppression_np(x, 11, 0.1)
+    s, c, n = non_maximum_suppression_multipeak(
+        jnp.asarray(x), 11, 0.1, max_peaks=4096
+    )
+    n = int(n)
+    assert n == len(s_ref)
+    np.testing.assert_array_equal(np.asarray(s[:n]), s_ref)
+    np.testing.assert_array_equal(np.asarray(c[:n]), c_ref)
+
+
+def test_nms_batch_matches_single(rng):
+    xb = rng.rand(3, 128, 128).astype(np.float32)
+    batch = nms_batch_to_host(xb, 9, threshold=0.3, max_peaks=256)
+    assert len(batch) == 3
+    for i in range(3):
+        s_ref, c_ref = non_maximum_suppression_np(xb[i], 9, 0.3)
+        s, c = batch[i]
+        assert len(s) == len(s_ref)
+        np.testing.assert_array_equal(s, s_ref)
+        # pick sets match (tie ORDER may differ under the batched top_k)
+        assert set(map(tuple, c)) == set(map(tuple, c_ref))
 
 
 def test_nms_threshold_and_cap(rng):
