@@ -1,19 +1,28 @@
 #!/usr/bin/env python
-"""Headline benchmark: dense joint inference on 1024x1024 micrographs.
+"""Headline benchmarks: dense joint inference + training throughput.
 
-Workload (BASELINE.json metric "micrographs/sec/chip for 1024^2 tiled
-inference"): blind-spot U-Net denoise (mu/sigma + PME) + dense per-pixel
-detector heatmap + on-device greedy NMS (worst case: the 2048-peak cap is
-hit), batch of 2 micrographs per step, single chip.  Only the picks
-(scores/coords, ~24 KB) and a checksum travel to the host — exactly the
-production contract (SURVEY.md §7.3: "ship only the few-hundred picks").
+Workloads (BASELINE.json metrics):
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "micrographs/sec", "vs_baseline": N}
+1. "micrographs/sec/chip for 1024^2 tiled inference": blind-spot U-Net
+   denoise (mu/sigma + PME, Pallas-fused dense path) + dense per-pixel
+   detector heatmap + on-device greedy multipeak NMS (worst case: the
+   2048-peak cap is hit), batch of 2 micrographs per step, single chip.
+   Only the picks (~24 KB) and a checksum travel to the host — the
+   production contract (SURVEY.md §7.3: "ship only the few-hundred
+   picks").
+2. "train iters/sec": the scan-chunked joint training step (both
+   flip-TTA forwards, PU + NLL + consistency losses, Adam, BN stats,
+   HBM patch gather), batch 4 of 64^2 patches — the trainer's fast path
+   (steps.make_train_scan).
 
-`vs_baseline` compares against the PyTorch reference running the same dense
-inference on CPU (no published numbers exist; SURVEY.md §6), measured with
-tools/measure_reference_baseline.py on this host: 142.8 s/micrograph.
+Prints one JSON line per metric; the HEADLINE (inference) line is LAST
+and also embeds the training number as an extra key so drivers that
+record a single line capture both.
+
+`vs_baseline` compares against the PyTorch reference on CPU (no published
+numbers exist; SURVEY.md §6), measured with
+tools/measure_reference_baseline.py on this host: 142.8 s/micrograph
+dense inference; 3.711 s/iteration training.
 """
 
 from __future__ import annotations
@@ -31,32 +40,92 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from spr_pick_tpu import cfg as cfg_mod
 from spr_pick_tpu.denoiser import Denoiser
-from spr_pick_tpu.ops.nms import non_maximum_suppression_blocked
+from spr_pick_tpu.ops.nms import non_maximum_suppression_multipeak
 from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm, NoiseValue, PipelineOutput
-from spr_pick_tpu.steps import init_state
+from spr_pick_tpu.steps import init_state, make_train_scan
 
 REFERENCE_CPU_SEC_PER_MICROGRAPH = 142.8
+REFERENCE_CPU_SEC_PER_TRAIN_ITER = 3.711
 
 SIZE = 1024
 BATCH = 2
 N_WARMUP = 2
 N_ITERS = 10
 
+TRAIN_BATCH = 4
+TRAIN_CROP = 64
+TRAIN_K = 64  # steps per scan chunk
 
-def main():
+
+def make_denoiser():
     c = cfg_mod.base()
     c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
     c[ConfigValue.NOISE_STYLE] = "gauss"
     c[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
     cfg_mod.infer(c, model_only=True)
+    return c, Denoiser(c, mode="joint")
 
-    den = Denoiser(c, mode="joint")
+
+def bench_train(den, state):
+    """Scan-chunked train throughput (iters/sec at batch 4)."""
+    scan = make_train_scan(den, alpha=0.75, tau=0.01, crop=TRAIN_CROP)
+    rng = np.random.RandomState(1)
+    n_imgs, hw = 4, 512
+    images = jnp.asarray(rng.rand(n_imgs, hw, hw), jnp.float32)
+    hms = jnp.asarray(
+        (rng.rand(n_imgs, hw, hw) > 0.99).astype(np.float32) * 2 - 1
+    )
+    half = TRAIN_CROP // 2
+
+    def sample_indices(k):
+        r = np.random.RandomState(k)
+        flat = r.randint(0, n_imgs, size=(TRAIN_K, TRAIN_BATCH)).astype(np.int32)
+        ys = r.randint(half, hw - half, size=(TRAIN_K, TRAIN_BATCH)).astype(np.int32)
+        xs = r.randint(half, hw - half, size=(TRAIN_K, TRAIN_BATCH)).astype(np.int32)
+        return jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs)
+
+    lrs = jnp.full((TRAIN_K,), 1e-4, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    flat, ys, xs = sample_indices(0)
+    state, metrics = scan(state, images, hms, flat, ys, xs, lrs, key)
+    _ = float(np.asarray(metrics["loss"])[-1])  # compile + sync
+
+    reps = 3
+    t0 = time.time()
+    for i in range(reps):
+        flat, ys, xs = sample_indices(i + 1)
+        state, metrics = scan(state, images, hms, flat, ys, xs, lrs, key)
+        _ = float(np.asarray(metrics["loss"])[-1])
+    dt = (time.time() - t0) / (reps * TRAIN_K)
+    # The scan donates its input state; hand the live one back so the
+    # caller's buffers aren't dead.
+    return 1.0 / dt, state
+
+
+def main():
+    c, den = make_denoiser()
     state = init_state(den, seed=0, patch=64)
     nms_radius = int(c[ConfigValue.NMS])
     max_peaks = int(c[ConfigValue.MAX_PEAKS])
 
+    train_iters_per_sec, state = bench_train(den, state)
+    print(
+        json.dumps(
+            {
+                "metric": "joint train step (batch 4, scan-chunked), single chip",
+                "value": round(train_iters_per_sec, 2),
+                "unit": "iters/sec",
+                "vs_baseline": round(
+                    train_iters_per_sec * REFERENCE_CPU_SEC_PER_TRAIN_ITER, 2
+                ),
+            }
+        ),
+        flush=True,
+    )
+
     nms = partial(
-        non_maximum_suppression_blocked,
+        non_maximum_suppression_multipeak,
         radius=nms_radius,
         threshold=0.02,
         max_peaks=max_peaks,
@@ -103,6 +172,10 @@ def main():
                 "value": round(value, 4),
                 "unit": "micrographs/sec",
                 "vs_baseline": round(vs_baseline, 2),
+                "train_iters_per_sec": round(train_iters_per_sec, 2),
+                "train_vs_baseline": round(
+                    train_iters_per_sec * REFERENCE_CPU_SEC_PER_TRAIN_ITER, 2
+                ),
             }
         )
     )

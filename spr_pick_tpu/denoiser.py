@@ -57,6 +57,11 @@ class Denoiser:
 
     cfg: Dict
     mode: str  # "joint" | "denoise"
+    # Route dense (whole-micrograph) inference through the Pallas fused
+    # U-Net kernels (ops/pallas_unet.py) when preconditions hold; the
+    # trainer disables this under a data-parallel mesh (pallas_call has
+    # no SPMD partitioning rules).
+    fused_dense: bool = True
 
     def __post_init__(self):
         c = self.cfg
@@ -180,8 +185,55 @@ class Denoiser:
     # Forward helpers
     # ------------------------------------------------------------------
 
+    def _can_fuse_dense(self, inp) -> bool:
+        """Pallas fused dense path preconditions: blind-spot joint model,
+        single input channel, square input on the TPU band grid, and no
+        mesh-sharded batch (pallas_call has no partitioning rules)."""
+        return (
+            self.fused_dense
+            and self.has_joint_model
+            and self.blindspot
+            and self.in_channels == 1
+            and inp.ndim == 4
+            and inp.shape[1] == inp.shape[2]
+            and inp.shape[1] % 32 == 0
+        )
+
+    def _apply_model_fused(self, model_vars, inp, rng):
+        """Dense inference through the Pallas fused U-Net kernels.
+
+        Numerically equivalent to ``model_dense.apply`` (tested to f32
+        exactness in tests/test_pallas_unet.py); the reparameterisation
+        noise uses the raw ``rng`` key rather than flax's path-derived
+        stream — a different but identically-distributed sample (the
+        reference's torch stream differs from both; SURVEY.md §7.3 RNG
+        semantics)."""
+        from spr_pick_tpu.models.joint import Detector
+        from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
+
+        p = model_vars["params"]
+        cdtype = self.compute_dtype or jnp.float32
+        out_stats = dense_blindspot_unet(
+            p["denoise_branch"], inp, out_channels=self.out_channels,
+            cdtype=cdtype,
+        )
+        mu_x = out_stats[..., 0 : self.in_channels]
+        a_c = out_stats[..., self.in_channels : self.out_channels]
+        sigma_x = a_c[..., 0 : self.in_channels] ** 2
+        epsilon = jax.random.normal(rng, mu_x.shape, mu_x.dtype)
+        z = mu_x + epsilon * sigma_x
+
+        det = Detector(dense=True, dtype=self.compute_dtype)
+        col = {"params": p["detector"]}
+        if "batch_stats" in model_vars:
+            col["batch_stats"] = model_vars["batch_stats"]["detector"]
+        detect = det.apply(col, z, False)
+        return (out_stats, detect), None
+
     def _apply_model(self, model_vars, inp, rng, train: bool, dense: bool):
         """Apply the main model.  Returns ((net_out, hm_logits), bn_updates)."""
+        if dense and not train and self._can_fuse_dense(inp):
+            return self._apply_model_fused(model_vars, inp, rng)
         model = self.model_dense if dense else self.model
         col = {"params": model_vars["params"]}
         if "batch_stats" in model_vars:

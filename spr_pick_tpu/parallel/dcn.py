@@ -1,0 +1,64 @@
+"""Multi-host (DCN) input pipelines for dataset-scale work.
+
+SURVEY.md §2.7 lists optional "multi-host DCN data parallelism for
+dataset-scale eval" as the remaining parallelism axis.  The TPU-native
+recipe: each HOST loads only its shard of the micrograph list from its
+local filesystem (pure host work — no DCN traffic for pixels), and
+per-host batches are assembled into one GLOBAL `jax.Array` laid out over
+the full (multi-host) mesh with `jax.make_array_from_process_local_data`
+— gradient/eval collectives then ride ICI within each slice and DCN only
+for the cross-slice reduction, which XLA schedules automatically.
+
+Single-process environments degrade to the identity (host 0 owns
+everything), so the same trainer code runs everywhere; multi-host
+correctness of the sharding math is unit-tested, and the global-array
+assembly is exercised on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spr_pick_tpu.parallel.mesh import DATA_AXIS
+
+
+def process_info():
+    """(process_index, process_count) for the current runtime."""
+    return jax.process_index(), jax.process_count()
+
+
+def host_shard(items: Sequence, index: int = None, count: int = None) -> List:
+    """Deterministic round-robin partition of a work list across hosts.
+
+    Round-robin (rather than contiguous blocks) keeps per-host load even
+    when micrograph sizes correlate with collection order.  Every item is
+    owned by exactly one host; hosts with ``i >= len(items)`` get the
+    empty list.
+    """
+    if index is None or count is None:
+        index, count = process_info()
+    if count <= 1:
+        return list(items)
+    return [it for j, it in enumerate(items) if j % count == index]
+
+
+def shard_sizes(n_items: int, count: int) -> List[int]:
+    """Items per host under :func:`host_shard` (for progress accounting)."""
+    return [len(range(i, n_items, count)) for i in range(count)]
+
+
+def global_batch(local: np.ndarray, mesh: Mesh, axis: str = DATA_AXIS):
+    """Assemble per-host local batches into one global sharded array.
+
+    ``local`` is this host's (local_batch, ...) block; the result is a
+    global jax.Array of shape (global_batch, ...) sharded along `axis`
+    over the mesh.  With one process this is equivalent to
+    `shard_batch`; with many, each host contributes only its block and
+    no pixel data crosses DCN.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.make_array_from_process_local_data(sharding, np.asarray(local))

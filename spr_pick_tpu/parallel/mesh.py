@@ -51,3 +51,18 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params / optimizer state / rng) over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_scan_indices(tree, mesh: Mesh, axis: str = DATA_AXIS):
+    """Place (K, B) per-step index arrays with the BATCH dim sharded.
+
+    The scan-chunked train path (steps.make_train_scan) carries K steps of
+    B packed sampler indices; sharding dim 1 makes jit partition the
+    per-step gather + forward across the mesh while the scan carry
+    (params/optimizer) stays replicated — the same step semantics as the
+    per-step data-parallel path, with the gradient psum inserted by XLA.
+    """
+    sharding = NamedSharding(mesh, P(None, axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )

@@ -9,8 +9,11 @@ mesh, run the SAME dense model per tile, and stitch the valid centres.
 
 The blind-spot U-Net's receptive field is huge but its effective context
 decays within ~the encoder pyramid extent; `halo=96` (3x detector RF//2)
-keeps stitched outputs visually and numerically indistinguishable for
-picking (validated in tests against the un-tiled forward).
+keeps stitched picks equal to the un-tiled forward's away from the score
+floor — validated on the REAL trained JointNetwork in
+tests/test_tiling.py::test_tiled_real_joint_model_pick_parity (pick-set
+hysteresis match after the product's 30 px border filter; tile-boundary
+heatmap deviation measures p99 ~0.01 on a 0..0.8 scale).
 """
 
 from __future__ import annotations
@@ -35,9 +38,10 @@ def extract_tiles(image: np.ndarray, tile: int, halo: int) -> Tuple[np.ndarray, 
     ny, nx = plan_tiles(h, w, tile)
     pad_h = ny * tile - h
     pad_w = nx * tile - w
-    padded = np.pad(
-        image, ((halo, halo + pad_h), (halo, halo + pad_w)), mode="reflect"
-    )
+    # Zero-fill beyond the image: matches the conv zero-padding the direct
+    # (un-tiled) forward sees at the image boundary (reflect padding makes
+    # edge tiles hallucinate mirrored content the direct path never sees).
+    padded = np.pad(image, ((halo, halo + pad_h), (halo, halo + pad_w)))
     tiles = np.empty((ny * nx, tile + 2 * halo, tile + 2 * halo), image.dtype)
     k = 0
     for iy in range(ny):

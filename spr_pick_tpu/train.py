@@ -92,6 +92,13 @@ class DenoiserTrainer:
         self._rng_key = None
 
         self.mesh = None
+        self._scan_stacks_replicated = False
+        # Halo-tiled eval engages above this edge length (px).  Tile and
+        # halo sizes keep tile+2*halo a multiple of 32 (pad grid) and the
+        # halo beyond the detector RF + U-Net decay (parallel/tiling.py).
+        self.tile_eval_threshold = 2048
+        self.tile_eval_size = 1024
+        self.tile_eval_halo = 96
         self.trainset: Optional[MicrographDataset] = None
         self.patch_pipeline: Optional[DevicePatchPipeline] = None
         self.train_sampler = None
@@ -407,12 +414,38 @@ class DenoiserTrainer:
                     ],
                     jnp.float32,
                 )
+                flat, ys, xs = jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs)
+                rng = self._next_rng()
+                images_dev = self.patch_pipeline.images_dev
+                hms_dev = self.patch_pipeline.hms_dev
+                if self.mesh is not None:
+                    from spr_pick_tpu.parallel.mesh import (
+                        replicate,
+                        shard_scan_indices,
+                    )
+
+                    (flat, ys, xs) = shard_scan_indices(
+                        (flat, ys, xs), self.mesh
+                    )
+                    lrs, rng = replicate((lrs, rng), self.mesh)
+                    if not self._scan_stacks_replicated:
+                        # One-time: pin the micrograph/heatmap stacks
+                        # replicated on every chip.
+                        self.patch_pipeline.images_dev = replicate(
+                            images_dev, self.mesh
+                        )
+                        self.patch_pipeline.hms_dev = replicate(
+                            hms_dev, self.mesh
+                        )
+                        images_dev = self.patch_pipeline.images_dev
+                        hms_dev = self.patch_pipeline.hms_dev
+                        self._scan_stacks_replicated = True
                 self.train_state, metrics = self._train_scan(
                     self.train_state,
-                    self.patch_pipeline.images_dev,
-                    self.patch_pipeline.hms_dev,
-                    jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs),
-                    lrs, self._next_rng(),
+                    images_dev,
+                    hms_dev,
+                    flat, ys, xs,
+                    lrs, rng,
                 )
                 pending_metrics.append((metrics, k))
                 self.state[StateValue.ITERATION] += k * batch_size
@@ -469,12 +502,19 @@ class DenoiserTrainer:
         return max((boundary - iteration) // batch_size, 1)
 
     def _can_scan(self) -> bool:
-        return (
-            self.train_sampler is not None
-            and isinstance(self.patch_pipeline, DevicePatchPipeline)
-            and self.mesh is None
-            and self._train_scan is not None
-        )
+        if (
+            self.train_sampler is None
+            or not isinstance(self.patch_pipeline, DevicePatchPipeline)
+            or self._train_scan is None
+        ):
+            return False
+        if self.mesh is not None:
+            # Mesh path: the per-step batch is sharded over 'data', so it
+            # must divide evenly across the chips.
+            batch = int(self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE])
+            if batch % int(self.mesh.devices.size) != 0:
+                return False
+        return True
 
     def _flush_metrics(self, pending, batch_size: int):
         """Materialise buffered device metrics (per-step dicts or scan-stacked
@@ -512,15 +552,34 @@ class DenoiserTrainer:
         filled/dense model, accumulate PSNR when gt is present, and hand
         outputs to the artifact callback."""
         if self._eval_step is None:
+            if self.mesh is not None:
+                # pallas_call has no SPMD partitioning rules; mesh-sharded
+                # eval batches use the flax dense path.
+                self.denoiser.fused_dense = False
             self._eval_step = make_eval_step(self.denoiser, dense=True)
         eval_history = self.state[StateValue.HISTORY][HistoryValue.EVAL]
         batch_size = max(int(self.cfg[ConfigValue.TEST_MINIBATCH_SIZE] or 1), 1)
 
-        indices = list(iter(self.test_sampler))
+        # Multi-host runs: each host evaluates only its shard of the
+        # micrograph list (identity on one process; parallel/dcn.py).
+        from spr_pick_tpu.parallel.dcn import host_shard
+
+        indices = host_shard(list(iter(self.test_sampler)))
         idx = 0
         while idx < len(indices):
+            # Giant micrographs route through halo tiling (the whole-image
+            # forward would exhaust HBM / compile a fresh shape per size).
+            first = self.testset.test_item(indices[idx], pad_multiple=32)
+            if max(first["inp"].shape[1:3]) > self.tile_eval_threshold:
+                eval_history["n"] += 1
+                per = self._evaluate_tiled(first)
+                if output_callback:
+                    output_callback(idx, per, first)
+                idx += 1
+                continue
+
             # Group consecutive same-shape micrographs into one batch.
-            group = [self.testset.test_item(indices[idx], pad_multiple=32)]
+            group = [first]
             while (
                 len(group) < batch_size
                 and idx + len(group) < len(indices)
@@ -557,6 +616,36 @@ class DenoiserTrainer:
                 if output_callback:
                     output_callback(idx + j, per, item)
             idx += len(group)
+
+    def _evaluate_tiled(self, item: Dict) -> Dict:
+        """Halo-tiled dense pass for micrographs above `tile_eval_threshold`
+        (SURVEY.md §5 long-context analog): fixed-size square tiles with a
+        halo covering the U-Net + detector context run through the SAME
+        jitted dense step, stitched on host; mesh-sharded when available.
+        Returns per-image outputs shaped like the whole-image path."""
+        from spr_pick_tpu.parallel.tiling import tiled_dense_apply
+
+        rng = self._next_rng()
+
+        def apply_tiles(chunk):
+            outputs = self._eval_step(
+                self.train_state, {"inp": chunk}, rng
+            )
+            return {
+                k: v
+                for k, v in outputs.items()
+                if getattr(v, "ndim", 0) == 4 and v.shape[1:3] == chunk.shape[1:3]
+            }
+
+        image = np.asarray(item["inp"])[0, :, :, 0]
+        stitched = tiled_dense_apply(
+            apply_tiles,
+            image,
+            tile=self.tile_eval_size,
+            halo=self.tile_eval_halo,
+            mesh=self.mesh,
+        )
+        return {k: v[None, :, :, None] for k, v in stitched.items()}
 
     def validation_output_callback(self, output_index: int):
         def callback(idx: int, outputs: Dict, item: Dict):

@@ -75,6 +75,116 @@ def test_sharded_step_matches_single(cpu_mesh_devices, rng):
     np.testing.assert_allclose(w1, w8, rtol=1e-3, atol=5e-6)
 
 
+def test_scan_gather_sharding_mechanism(cpu_mesh_devices, rng):
+    """The sharded scan-chunk MECHANISM in miniature: the exact pattern of
+    steps.make_train_scan — lax.scan over K steps, each gathering a patch
+    batch via vmap(dynamic_slice) from a replicated stack with (K, B)
+    indices sharded over 'data', grad + update inside — must equal the
+    single-device run.  (The full joint-model version below is gated: its
+    XLA *CPU* compile alone runs for hours on 1-core hosts.)"""
+    from spr_pick_tpu.parallel.mesh import shard_scan_indices
+
+    devs = cpu_mesh_devices
+    crop, half = 8, 4
+    images = jnp.asarray(rng.rand(2, 32, 32), jnp.float32)
+    k, b = 3, 8
+    flat = jnp.asarray(rng.randint(0, 2, (k, b)), jnp.int32)
+    ys = jnp.asarray(rng.randint(half, 28, (k, b)), jnp.int32)
+    xs = jnp.asarray(rng.randint(half, 28, (k, b)), jnp.int32)
+    w0 = jnp.asarray(rng.rand(crop * crop, 4), jnp.float32)
+
+    def step(params, imgs, fl, y, x):
+        def g(n, yy, xx):
+            return jax.lax.dynamic_slice(
+                imgs, (n, yy - half, xx - half), (1, crop, crop)
+            )[0]
+
+        patches = jax.vmap(g)(fl, y, x).reshape(fl.shape[0], -1)
+
+        def loss_fn(p):
+            return jnp.mean((patches @ p) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return params - 0.01 * grads, loss
+
+    @jax.jit
+    def scan_fn(params, imgs, flat, ys, xs):
+        def body(p, inp):
+            f, y, x = inp
+            return step(p, imgs, f, y, x)
+
+        return jax.lax.scan(body, params, (flat, ys, xs))
+
+    cpu0 = devs[0]
+    with jax.default_device(cpu0):
+        p1, losses1 = scan_fn(
+            *(jax.device_put(v, cpu0) for v in (w0, images, flat, ys, xs))
+        )
+        losses1 = np.asarray(losses1)
+
+    mesh = make_mesh(8, devices=devs)
+    w8, images8 = replicate((w0, images), mesh)
+    flat8, ys8, xs8 = shard_scan_indices((flat, ys, xs), mesh)
+    p8, losses8 = scan_fn(w8, images8, flat8, ys8, xs8)
+    np.testing.assert_allclose(losses1, np.asarray(losses8), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), rtol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPR_EXHAUSTIVE"),
+    reason="joint-scan CPU compile takes hours on 1-core hosts; "
+    "set SPR_EXHAUSTIVE=1 to run",
+)
+def test_scan_chunk_sharded_matches_single(cpu_mesh_devices, rng):
+    """The scan-chunked fast path under the mesh with the REAL joint model:
+    K sharded steps in one lax.scan equal the same scan on one device
+    (VERDICT r1 #6 — the scan path and the mesh used to be mutually
+    exclusive).  The mechanism is covered cheaply above."""
+    from spr_pick_tpu.parallel.mesh import shard_scan_indices
+    from spr_pick_tpu.steps import make_train_scan
+
+    den = Denoiser(_cfg(), mode="joint")
+    cpu0 = cpu_mesh_devices[0]
+
+    k, b = 2, 8
+    n_imgs, hw, crop = 2, 128, 64
+    half = crop // 2
+    images = jnp.asarray(rng.rand(n_imgs, hw, hw), jnp.float32)
+    hms = jnp.asarray(
+        (rng.rand(n_imgs, hw, hw) > 0.5).astype(np.float32) * 2 - 1
+    )
+    flat = jnp.asarray(rng.randint(0, n_imgs, size=(k, b)), jnp.int32)
+    ys = jnp.asarray(rng.randint(half, hw - half, size=(k, b)), jnp.int32)
+    xs = jnp.asarray(rng.randint(half, hw - half, size=(k, b)), jnp.int32)
+    lrs = jnp.full((k,), 1e-4, jnp.float32)
+    key = jax.random.PRNGKey(5)
+
+    scan = make_train_scan(den, alpha=0.75, tau=0.01, crop=crop)
+
+    with jax.default_device(cpu0):
+        state1 = jax.device_put(init_state(den, seed=0), cpu0)
+        new1, m1 = scan(state1, images, hms, flat, ys, xs, lrs, key)
+        loss1 = np.asarray(m1["loss"])
+
+    mesh = make_mesh(8, devices=cpu_mesh_devices)
+    state8 = replicate(init_state(den, seed=0), mesh)
+    images8, hms8 = replicate((images, hms), mesh)
+    flat8, ys8, xs8 = shard_scan_indices((flat, ys, xs), mesh)
+    lrs8, key8 = replicate((lrs, key), mesh)
+    new8, m8 = scan(state8, images8, hms8, flat8, ys8, xs8, lrs8, key8)
+    loss8 = np.asarray(m8["loss"])
+
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-3, atol=1e-4)
+    w1 = np.asarray(
+        new1.trainable["model"]["denoise_branch"]["enc1_conv0"]["conv"]["kernel"]
+    )
+    w8 = np.asarray(
+        new8.trainable["model"]["denoise_branch"]["enc1_conv0"]["conv"]["kernel"]
+    )
+    np.testing.assert_allclose(w1, w8, rtol=1e-3, atol=5e-6)
+
+
 def test_graft_entry_compiles():
     import importlib.util
     import os

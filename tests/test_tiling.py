@@ -1,8 +1,11 @@
 """Halo-tiled inference tests: stitched output == direct dense output."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from spr_pick_tpu.parallel.tiling import (
     extract_tiles,
@@ -42,6 +45,164 @@ def test_tiled_matches_direct_conv(rng):
     np.testing.assert_allclose(
         stitched[8:-8, 8:-8], direct[8:-8, 8:-8], rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_tiled_real_joint_model_pick_parity(tmp_path, rng):
+    """VERDICT r1 #4: tiling validated on the REAL JointNetwork — after a
+    short joint training (so the detector heatmap has true peaks rather
+    than noise), the stitched dense forward must yield the same picks as
+    the un-tiled whole-image forward."""
+    from spr_pick_tpu import cfg as cfg_mod
+    from spr_pick_tpu.data.micrograph import (
+        DevicePatchPipeline,
+        MicrographDataset,
+    )
+    from spr_pick_tpu.data.sampler import StratifiedCoordinateSampler
+    from spr_pick_tpu.denoiser import Denoiser
+    from spr_pick_tpu.ops.algorithms import match_coordinates
+    from spr_pick_tpu.ops.nms import nms_to_host
+    from spr_pick_tpu.params import (
+        ConfigValue,
+        NoiseAlgorithm,
+        NoiseValue,
+        PipelineOutput,
+    )
+    from spr_pick_tpu.steps import init_state, make_eval_step, make_train_step
+    from tests.test_e2e import make_synthetic_dataset
+
+    images_txt, coords_txt = make_synthetic_dataset(
+        tmp_path, rng, n_images=2, size=384, n_particles=8
+    )
+    c = cfg_mod.base()
+    c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    c[ConfigValue.NOISE_STYLE] = "gauss"
+    c[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
+    cfg_mod.infer(c, model_only=True)
+
+    dataset = MicrographDataset(
+        images_txt, coords_txt, radius=3, train=True, crop=64, bb=24,
+        verbose=False,
+    )
+    sampler = StratifiedCoordinateSampler(
+        [g for g in dataset.targets], balance=0.25, size=10 ** 9,
+        random=np.random.RandomState(1),
+    )
+    pipeline = DevicePatchPipeline(dataset, crop=64, augment=True)
+    den = Denoiser(c, mode="joint")
+    state = init_state(den, seed=0)
+    step = make_train_step(den, alpha=0.5, tau=0.05)
+    key = jax.random.PRNGKey(0)
+    for _ in range(400):
+        batch = pipeline.batch(sampler.sample_batch(8))
+        key, sub = jax.random.split(key)
+        state, _ = step(state, batch, sub, jnp.float32(5e-4))
+
+    eval_step = make_eval_step(den, dense=True)
+    img = dataset.images[0][0].astype(np.float32)  # 384^2
+
+    def apply_tiles(chunk):
+        out = eval_step(state, {"inp": chunk}, key)
+        return {
+            k: v
+            for k, v in out.items()
+            if getattr(v, "ndim", 0) == 4 and v.shape[1:3] == chunk.shape[1:3]
+        }
+
+    direct = eval_step(state, {"inp": jnp.asarray(img[None, :, :, None])}, key)
+    hm_direct = np.asarray(direct[PipelineOutput.DETECT])[0, :, :, 0]
+    stitched = tiled_dense_apply(apply_tiles, img, tile=128, halo=96)
+    hm_tiled = stitched[PipelineOutput.DETECT]
+
+    # Trained heatmaps: peaks at particles.  Tiling a network whose
+    # bottleneck sees global context is approximate at exactly the score
+    # floor, so assert with hysteresis: every confident pick of one path
+    # must appear in the other path at a slightly lower floor.
+    thr = 0.5 * float(hm_direct.max())
+    lo = 0.7 * thr
+    size = img.shape[0]
+
+    def border_filter(scores, coords):
+        # the product's 30 px border filter (train.write_scores)
+        keep = [
+            i
+            for i in range(len(scores))
+            if 30 < coords[i, 0] < size - 30 and 30 < coords[i, 1] < size - 30
+        ]
+        return coords[keep]
+
+    s_d, c_d = nms_to_host(hm_direct, 15, threshold=thr, max_peaks=64)
+    s_t, c_t = nms_to_host(hm_tiled, 15, threshold=thr, max_peaks=64)
+    _, c_d_lo_ = nms_to_host(hm_direct, 15, threshold=lo, max_peaks=128)
+    _, c_t_lo_ = nms_to_host(hm_tiled, 15, threshold=lo, max_peaks=128)
+    c_d = border_filter(s_d, c_d)
+    c_t = border_filter(s_t, c_t)
+    c_d_lo = border_filter(np.zeros(len(c_d_lo_)), c_d_lo_)
+    c_t_lo = border_filter(np.zeros(len(c_t_lo_)), c_t_lo_)
+    assert len(c_d) >= 4, f"training failed to produce peaks ({len(c_d)})"
+
+    def full_recall(confident, relaxed):
+        assignment, _ = match_coordinates(
+            confident.astype(np.float64), relaxed.astype(np.float64), radius=4
+        )
+        # every relaxed pick matched to a confident target covers it;
+        # count how many confident targets found a partner
+        assignment2, _ = match_coordinates(
+            relaxed.astype(np.float64), confident.astype(np.float64), radius=4
+        )
+        return float(np.sum(assignment2)) / max(len(confident), 1)
+
+    assert full_recall(c_d, c_t_lo) == pytest.approx(1.0), (len(c_d), len(c_t_lo))
+    assert full_recall(c_t, c_d_lo) == pytest.approx(1.0), (len(c_t), len(c_d_lo))
+
+
+@pytest.mark.slow
+def test_evaluator_routes_giant_micrographs_through_tiles(tmp_path, rng):
+    """The trainer/evaluator wiring: items above tile_eval_threshold take
+    the tiled path end-to-end (artifacts + scores still produced)."""
+    from spr_pick_tpu import cfg as cfg_mod
+    from spr_pick_tpu.data import mrc
+    from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm, NoiseValue
+    from spr_pick_tpu.train import DenoiserTrainer
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    big = rng.rand(320, 320).astype(np.float32)
+    mrc.write(str(img_dir / "big.mrc"), big)
+    (tmp_path / "imgs.txt").write_text(
+        f"image_name\tpath\nbig\t{img_dir / 'big.mrc'}\n"
+    )
+    (tmp_path / "coords.txt").write_text(
+        "image_name\tx_coord\ty_coord\nbig\t150\t150\n"
+    )
+
+    c = cfg_mod.base()
+    c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    c[ConfigValue.NOISE_STYLE] = "gauss"
+    c[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
+    c[ConfigValue.ITERATIONS] = 4
+    c[ConfigValue.TRAIN_MINIBATCH_SIZE] = 4
+    c[ConfigValue.EVAL_INTERVAL] = 4
+    c[ConfigValue.PRINT_INTERVAL] = 1000
+    c[ConfigValue.SNAPSHOT_INTERVAL] = 1000
+    c[ConfigValue.NUM_EVAL] = 1
+    trainer = DenoiserTrainer(
+        c, mode="joint", alpha=0.75, tau=0.05, runs_dir=str(tmp_path / "runs")
+    )
+    # Force the 320^2 test micrograph over the tiling threshold.
+    trainer.tile_eval_threshold = 200
+    trainer.tile_eval_size = 128
+    trainer.tile_eval_halo = 64
+    trainer.set_train_data(str(tmp_path / "imgs.txt"))
+    trainer.set_train_label(str(tmp_path / "coords.txt"))
+    trainer.set_test_data(str(tmp_path / "imgs.txt"))
+    trainer.set_test_label(str(tmp_path / "coords.txt"))
+    trainer.train()
+
+    val_dir = os.path.join(trainer.run_dir_path, "val_imgs_joint")
+    files = os.listdir(val_dir)
+    assert any(f.endswith("_scores.txt") for f in files)
+    assert any("_out" in f and f.endswith(".png") for f in files)
 
 
 def test_tiled_with_mesh(cpu_mesh_devices, rng):
