@@ -600,12 +600,41 @@ class DenoiserTrainer:
                 batch = shard_batch(batch, self.mesh)
                 rng = replicate(rng, self.mesh)
             outputs = self._eval_step(self.train_state, batch, rng)
+
+            # Batched NMS: when a whole group shares its unpadded shape
+            # (the common same-size-micrograph case), all heatmaps go
+            # through ONE vmapped multipeak program — the wave fixed
+            # costs amortise across the batch (docs/PERF.md).
+            group_picks = None
+            if (
+                len(group) > 1
+                and output_callback is not None
+                and PipelineOutput.DETECT in outputs
+                and all(
+                    it["image_shape"] == group[0]["image_shape"]
+                    for it in group
+                )
+            ):
+                from spr_pick_tpu.ops.nms import nms_batch_to_host
+
+                shape = group[0]["image_shape"]
+                hms = np.asarray(outputs[PipelineOutput.DETECT])[
+                    :, : shape[0], : shape[1], 0
+                ]
+                group_picks = nms_batch_to_host(
+                    hms,
+                    int(self.cfg[ConfigValue.NMS]),
+                    threshold=0.02,
+                    max_peaks=int(self.cfg.get(ConfigValue.MAX_PEAKS, 2048)),
+                )
             for j, item in enumerate(group):
                 per = {
                     k: v[j : j + 1]
                     for k, v in outputs.items()
                     if getattr(v, "ndim", 0) == 4
                 }
+                if group_picks is not None:
+                    per["_picks"] = group_picks[j]
                 eval_history["n"] += 1
                 if item["gt"] is not None:
                     shape = item["image_shape"]
@@ -707,23 +736,29 @@ class DenoiserTrainer:
                 np.asarray(outputs[PipelineOutput.DETECT])[0, :, :, 0], shape
             )
             self.write_scores(
-                heatmap, name, path_for("scores", scoreformat)
+                heatmap, name, path_for("scores", scoreformat),
+                picks=outputs.get("_picks"),
             )
 
-    def write_scores(self, heatmap: np.ndarray, name: str, out_path: str):
+    def write_scores(self, heatmap: np.ndarray, name: str, out_path: str,
+                     picks=None):
         """On-device NMS -> `_scores.txt` rows with the 30 px border filter.
 
         Parity: train.py:557-571 (including the row/col output order:
         columns are named x_coord/y_coord but the reference writes
         (coords[:,1], coords[:,0]) = (row, col); preserved for downstream
-        compatibility with convert_to_star).
+        compatibility with convert_to_star).  `picks` carries precomputed
+        (scores, coords) from the batched-NMS path.
         """
-        scores, coords = nms_to_host(
-            heatmap,
-            int(self.cfg[ConfigValue.NMS]),
-            threshold=0.02,
-            max_peaks=int(self.cfg.get(ConfigValue.MAX_PEAKS, 2048)),
-        )
+        if picks is not None:
+            scores, coords = picks
+        else:
+            scores, coords = nms_to_host(
+                heatmap,
+                int(self.cfg[ConfigValue.NMS]),
+                threshold=0.02,
+                max_peaks=int(self.cfg.get(ConfigValue.MAX_PEAKS, 2048)),
+            )
         x_max, y_max = heatmap.shape[0] - 30, heatmap.shape[1] - 30
         with open(out_path, "w") as f:
             print("image_name\tx_coord\ty_coord\tscore", file=f)

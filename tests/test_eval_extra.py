@@ -1,5 +1,7 @@
 """Eval-path extras: PSNR vs ground truth, known-noise ssdn branch."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -12,6 +14,7 @@ from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm, NoiseValue
 from spr_pick_tpu.steps import init_state, make_train_step
 
 
+@pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_known_noise_ssdn(rng):
     c = cfg_mod.base()
     c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
@@ -89,6 +92,64 @@ def test_eval_psnr_with_gt(tmp_path, rng):
     trainer.train()
     eval_hist = trainer.state[StateValue.HISTORY][HistoryValue.EVAL]
     assert "psnr_out" in eval_hist
+
+
+@pytest.mark.slow
+def test_batched_group_nms_wiring(tmp_path, rng):
+    """Eval groups of same-size micrographs NMS in ONE vmapped program
+    (batched/single equality is proven at the ops level); this exercises
+    the trainer wiring end-to-end."""
+    from spr_pick_tpu.eval import DenoiserEvaluator
+    from spr_pick_tpu.train import DenoiserTrainer
+    from tests.test_e2e import make_synthetic_dataset
+
+    images_txt, coords_txt = make_synthetic_dataset(
+        tmp_path, rng, n_images=2, size=256
+    )
+    cfg = cfg_mod.base()
+    cfg[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    cfg[ConfigValue.NOISE_STYLE] = "gauss"
+    cfg[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
+    cfg[ConfigValue.ITERATIONS] = 4
+    cfg[ConfigValue.TRAIN_MINIBATCH_SIZE] = 4
+    cfg[ConfigValue.EVAL_INTERVAL] = 1000
+    cfg[ConfigValue.PRINT_INTERVAL] = 1000
+    cfg[ConfigValue.SNAPSHOT_INTERVAL] = 1000
+    trainer = DenoiserTrainer(
+        cfg, mode="joint", alpha=0.75, tau=0.05, runs_dir=str(tmp_path / "runs")
+    )
+    trainer.set_train_data(images_txt)
+    trainer.set_train_label(coords_txt)
+    trainer.train()
+    wt = [
+        os.path.join(trainer.run_dir_path, f)
+        for f in os.listdir(trainer.run_dir_path)
+        if f.endswith(".wt")
+    ][0]
+
+    ev = DenoiserEvaluator(wt, runs_dir=str(tmp_path / "runs"))
+    ev.set_test_data(images_txt)
+    ev.set_test_label(coords_txt)
+    ev.cfg[ConfigValue.NUM_EVAL] = 2
+    ev.cfg[ConfigValue.TEST_MINIBATCH_SIZE] = 2  # group of 2 -> batched NMS
+    ev.evaluate()
+    eval_dir = os.path.join(ev.run_dir_path, "eval_imgs")
+    score_files = sorted(
+        f for f in os.listdir(eval_dir) if f.endswith("_scores.txt")
+    )
+    assert len(score_files) == 2
+
+    # Batched-vs-single NMS equality is proven at the ops level
+    # (test_ops.test_nms_batch_matches_single); here assert the wiring:
+    # both micrographs exported schema-valid, border-filtered picks.
+    for fname in score_files:
+        rows = open(os.path.join(eval_dir, fname)).read().strip().splitlines()
+        assert rows[0] == "image_name\tx_coord\ty_coord\tscore"
+        assert len(rows) > 1, "batched path exported no picks"
+        for line in rows[1:]:
+            _, x, y, s = line.split("\t")
+            assert 30 < int(x) < 226 and 30 < int(y) < 226
+            assert 0.02 < float(s) <= 1.0
 
 
 def test_ssdn_three_channel_full_covariance(rng):

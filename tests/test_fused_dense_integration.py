@@ -27,6 +27,7 @@ def _denoiser():
     return Denoiser(c, mode="joint")
 
 
+@pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_fused_out_stats_match_flax(rng):
     den = _denoiser()
     variables = den.init_variables(seed=0, patch=64)

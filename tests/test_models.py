@@ -45,6 +45,7 @@ def test_shift_down():
     np.testing.assert_allclose(np.asarray(y)[0, 1:, :, 0], np.asarray(x)[0, :2, :, 0])
 
 
+@pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_unet_shapes():
     model = BlindspotUNet(in_channels=1, out_channels=2, blindspot=True)
     x = jnp.zeros((2, 64, 64, 1))
@@ -54,6 +55,7 @@ def test_unet_shapes():
     assert model.input_wh_mul == 32
 
 
+@pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_blindspot_property():
     """Output at (r, c) must not depend on input at (r, c).
 
@@ -79,6 +81,7 @@ def test_blindspot_property():
     assert np.abs(np.asarray(g)).sum() > 0.0
 
 
+@pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_nonblindspot_is_not_blind():
     model = BlindspotUNet(in_channels=1, out_channels=1, blindspot=False, levels=3)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 1))
@@ -111,6 +114,7 @@ def test_resnet8_dense_shape():
     assert y.shape == (1, 96, 96, 128)
 
 
+@pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_fill_equivalence():
     """Dense (filled) output sampled at the stride-4 grid == strided output.
 
@@ -136,6 +140,7 @@ def test_fill_equivalence():
     np.testing.assert_allclose(np.asarray(y_strided), sampled, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_joint_network_shapes():
     model = JointNetwork()
     x = jnp.zeros((2, 64, 64, 1))
@@ -151,6 +156,7 @@ def test_joint_network_shapes():
     assert "batch_stats" in mutated
 
 
+@pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_joint_network_dense_param_compat():
     """Weights trained in crop mode must load & run in dense mode unchanged."""
     train_model = JointNetwork(dense=False)

@@ -80,6 +80,7 @@ def test_fused_enc1_exact_f32(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_dense_unet_exact_f32():
     from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
 
@@ -103,6 +104,7 @@ def test_dense_unet_exact_f32():
     np.testing.assert_allclose(got_k, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_dense_unet_batch2_and_tiles():
     """Multiple tiles per image + batch > 1 exercise every rotation rect."""
     from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
@@ -118,6 +120,7 @@ def test_dense_unet_batch2_and_tiles():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_dense_unet_bf16_close():
     from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
 

@@ -66,6 +66,7 @@ def test_joint_eval_step_dense(rng):
     assert hm.min() >= 1e-4 and hm.max() <= 1 - 1e-4
 
 
+@pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_joint_var_sigma(rng):
     den = Denoiser(_joint_cfg(NoiseValue.UNKNOWN_VARIABLE), mode="joint")
     assert den.sigma_model is not None
