@@ -109,7 +109,11 @@ def main():
     nms_radius = int(c[ConfigValue.NMS])
     max_peaks = int(c[ConfigValue.MAX_PEAKS])
 
-    train_iters_per_sec, state = bench_train(den, state)
+    train_iters_per_sec, _ = bench_train(den, state)
+    # Fresh init for inference: the worst-case-NMS claim (sigmoid ~0.5
+    # everywhere -> 2048-peak cap) holds for untrained weights; timing on
+    # the just-trained state would quietly lighten the NMS workload.
+    state = init_state(den, seed=0, patch=64)
     print(
         json.dumps(
             {

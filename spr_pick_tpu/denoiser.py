@@ -57,10 +57,8 @@ class Denoiser:
 
     cfg: Dict
     mode: str  # "joint" | "denoise"
-    # Route dense (whole-micrograph) inference through the Pallas fused
-    # U-Net kernels (ops/pallas_unet.py) when preconditions hold; the
-    # trainer disables this under a data-parallel mesh (pallas_call has
-    # no SPMD partitioning rules).
+    # Route dense (whole-micrograph) inference through the optimised XLA
+    # dense forward (ops/pallas_unet.py) when preconditions hold.
     fused_dense: bool = True
 
     def __post_init__(self):
@@ -186,9 +184,10 @@ class Denoiser:
     # ------------------------------------------------------------------
 
     def _can_fuse_dense(self, inp) -> bool:
-        """Pallas fused dense path preconditions: blind-spot joint model,
-        single input channel, square input on the TPU band grid, and no
-        mesh-sharded batch (pallas_call has no partitioning rules)."""
+        """Optimised dense path preconditions: blind-spot joint model,
+        single input channel, square input on the 32-px pad grid.  The
+        default path is pure XLA (SPMD-partitionable; the opt-in Pallas
+        kernels are the only thing that would not shard)."""
         return (
             self.fused_dense
             and self.has_joint_model
@@ -200,7 +199,7 @@ class Denoiser:
         )
 
     def _apply_model_fused(self, model_vars, inp, rng):
-        """Dense inference through the Pallas fused U-Net kernels.
+        """Dense inference through the optimised XLA U-Net forward.
 
         Numerically equivalent to ``model_dense.apply`` (tested to f32
         exactness in tests/test_pallas_unet.py); the reparameterisation

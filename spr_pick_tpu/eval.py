@@ -54,7 +54,9 @@ class DenoiserEvaluator(DenoiserTrainer):
         logger.info(separator())
         logger.info("EVALUATING...")
         self.reset_metrics(train=False)
-        self._evaluate(output_callback=self.eval_output_callback())
+        self._evaluate(
+            output_callback=self.eval_output_callback(), picks_for_all=True
+        )
         logger.info("EVALUATION RESULT: %s", self.eval_state_str())
         logger.info(separator())
 

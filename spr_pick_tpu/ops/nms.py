@@ -14,7 +14,7 @@ shards; only the <=few-hundred picks ever travel to the host.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -424,6 +424,22 @@ def non_maximum_suppression_multipeak(
     return scores, coords, count
 
 
+@lru_cache(maxsize=32)
+def _batched_nms_fn(radius: int, threshold: float, max_peaks: int):
+    # Cached module-level jit: building a fresh jit(vmap(...)) per call
+    # would retrace + recompile the while_loop kernel on EVERY eval group.
+    return jax.jit(
+        jax.vmap(
+            partial(
+                non_maximum_suppression_multipeak,
+                radius=radius,
+                threshold=threshold,
+                max_peaks=max_peaks,
+            )
+        )
+    )
+
+
 def nms_batch_to_host(
     heatmaps, radius: int, threshold: float = 0.02, max_peaks: int = 2048
 ):
@@ -438,15 +454,9 @@ def nms_batch_to_host(
     scores are identical.
     """
     heatmaps = jnp.asarray(heatmaps)
-    fn = jax.vmap(
-        partial(
-            non_maximum_suppression_multipeak,
-            radius=radius,
-            threshold=threshold,
-            max_peaks=max_peaks,
-        )
+    scores, coords, counts = _batched_nms_fn(radius, float(threshold), max_peaks)(
+        heatmaps
     )
-    scores, coords, counts = jax.jit(fn)(heatmaps)
     counts = np.asarray(counts)
     scores = np.asarray(scores)
     coords = np.asarray(coords)

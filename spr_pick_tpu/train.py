@@ -321,6 +321,7 @@ class DenoiserTrainer:
         logger.info(separator())
         logger.info("Loading Training Dataset...")
         self.trainset, self.train_sampler, self.patch_pipeline = self.train_data()
+        self._scan_stacks_replicated = False
         logger.info("Loaded Training Dataset.")
         if self.cfg[ConfigValue.TEST_DATA_PATH]:
             logger.info("Loading Validation Dataset...")
@@ -547,24 +548,29 @@ class DenoiserTrainer:
     # Evaluation (dense inference over whole micrographs)
     # ------------------------------------------------------------------
 
-    def _evaluate(self, output_callback: Optional[Callable] = None):
+    def _evaluate(self, output_callback: Optional[Callable] = None,
+                  picks_for_all: bool = False):
         """Dense eval pass (train.py:383-414): per test micrograph run the
         filled/dense model, accumulate PSNR when gt is present, and hand
-        outputs to the artifact callback."""
+        outputs to the artifact callback.  ``picks_for_all``: the callback
+        will export picks for EVERY item (the evaluator), enabling the
+        batched group NMS; training validation exports only one item, so
+        batch NMS for the rest would be wasted device time."""
         if self._eval_step is None:
-            if self.mesh is not None:
-                # pallas_call has no SPMD partitioning rules; mesh-sharded
-                # eval batches use the flax dense path.
-                self.denoiser.fused_dense = False
             self._eval_step = make_eval_step(self.denoiser, dense=True)
         eval_history = self.state[StateValue.HISTORY][HistoryValue.EVAL]
         batch_size = max(int(self.cfg[ConfigValue.TEST_MINIBATCH_SIZE] or 1), 1)
 
-        # Multi-host runs: each host evaluates only its shard of the
-        # micrograph list (identity on one process; parallel/dcn.py).
-        from spr_pick_tpu.parallel.dcn import host_shard
+        # Multi-host runs WITHOUT a global mesh: each host evaluates only
+        # its shard of the micrograph list (identity on one process;
+        # parallel/dcn.py).  Under a global mesh every process must issue
+        # the same computations (SPMD), so the full list is kept and the
+        # batch itself is sharded instead.
+        indices = list(iter(self.test_sampler))
+        if self.mesh is None:
+            from spr_pick_tpu.parallel.dcn import host_shard
 
-        indices = host_shard(list(iter(self.test_sampler)))
+            indices = host_shard(indices)
         idx = 0
         while idx < len(indices):
             # Giant micrographs route through halo tiling (the whole-image
@@ -573,6 +579,12 @@ class DenoiserTrainer:
             if max(first["inp"].shape[1:3]) > self.tile_eval_threshold:
                 eval_history["n"] += 1
                 per = self._evaluate_tiled(first)
+                if first["gt"] is not None:
+                    shape = first["image_shape"]
+                    for key, name in self.img_outputs(prefix="psnr").items():
+                        img = unpad(np.asarray(per[key])[0, :, :, 0], shape)
+                        gt = np.asarray(first["gt"])[: shape[0], : shape[1]]
+                        eval_history[name] += calculate_psnr(img[None], gt[None])
                 if output_callback:
                     output_callback(idx, per, first)
                 idx += 1
@@ -608,7 +620,7 @@ class DenoiserTrainer:
             group_picks = None
             if (
                 len(group) > 1
-                and output_callback is not None
+                and picks_for_all
                 and PipelineOutput.DETECT in outputs
                 and all(
                     it["image_shape"] == group[0]["image_shape"]
@@ -654,11 +666,11 @@ class DenoiserTrainer:
         Returns per-image outputs shaped like the whole-image path."""
         from spr_pick_tpu.parallel.tiling import tiled_dense_apply
 
-        rng = self._next_rng()
-
         def apply_tiles(chunk):
+            # Fresh key per chunk: one shared key would repeat the same
+            # reparameterisation noise field in every tile.
             outputs = self._eval_step(
-                self.train_state, {"inp": chunk}, rng
+                self.train_state, {"inp": chunk}, self._next_rng()
             )
             return {
                 k: v
