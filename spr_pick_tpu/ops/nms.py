@@ -83,9 +83,14 @@ def non_maximum_suppression_blocked(
     iteration touches O(block^2 + radius^2) elements instead of O(H*W):
     argmax over per-block maxima, argmax within the winning block, then a
     windowed disk suppression + block-max repair.  ~10x faster for 1024^2
-    maps at radius 15.  Requires radius < block.
+    maps at radius 15.  Requires 2*radius <= block: the suppression
+    window spans at most 2 blocks per axis only under that bound (the
+    repair recomputes a 2x2 block neighbourhood).
     """
-    assert radius < block, "suppression radius must be smaller than the block"
+    assert 2 * radius <= block, (
+        "blocked NMS repair covers a 2x2 block neighbourhood; "
+        f"need 2*radius <= block (got radius={radius}, block={block})"
+    )
     h, w = heatmap.shape
     neg = jnp.float32(-jnp.inf)
 
@@ -198,7 +203,23 @@ def non_maximum_suppression_waves(
             work, neg, jax.lax.max,
             (local_win, local_win), (1, 1), "SAME",
         )
-        is_pick = (work == local_max) & (work > threshold)
+        is_cand = (work == local_max) & (work > threshold)
+        # Exact-score ties: two tied local maxima within `radius` would
+        # both be emitted (greedy picks one and suppresses the other).
+        # All candidates within radius of a candidate provably share its
+        # value, so greedy's argsort-reversed order reduces to "highest
+        # flat index wins"; the loser stays unpicked and either gets
+        # suppressed or picked in a later wave — exactly like greedy.
+        flat_idx = (
+            jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+            + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        )
+        cand_idx = jnp.where(is_cand, flat_idx, -1)
+        best_near = jax.lax.reduce_window(
+            cand_idx, jnp.int32(-1), jax.lax.max,
+            (win, win), (1, 1), "SAME",
+        )
+        is_pick = is_cand & (best_near == flat_idx)
         picked = picked | is_pick
         # Dilate picks by the disk -> suppression mask.
         sup = jax.lax.conv_general_dilated(
@@ -469,16 +490,17 @@ def nms_batch_to_host(
 def nms_to_host(
     heatmap, radius: int, threshold: float = 0.02, max_peaks: int = 2048
 ):
-    """Run device NMS (multipeak fast path) and return trimmed numpy arrays."""
+    """Run device NMS (multipeak kernel) and return trimmed numpy arrays.
+
+    All sizes route through the multipeak kernel: it is the only variant
+    with oracle-exact tie order (the basic kernel's argmax takes the
+    LOWEST flat index among ties), so a size-based dispatch would resolve
+    ties differently for small vs large maps.
+    """
     heatmap = jnp.asarray(heatmap)
-    if min(heatmap.shape) >= 256:
-        scores, coords, count = non_maximum_suppression_multipeak(
-            heatmap, radius, threshold, max_peaks
-        )
-    else:
-        scores, coords, count = non_maximum_suppression(
-            heatmap, radius, threshold, max_peaks
-        )
+    scores, coords, count = non_maximum_suppression_multipeak(
+        heatmap, radius, threshold, max_peaks
+    )
     n = int(count)
     return np.asarray(scores[:n]), np.asarray(coords[:n])
 

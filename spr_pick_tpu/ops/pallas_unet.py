@@ -70,52 +70,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _taps_matmul(x, w, b, rows, cols):
-    """sum_{u,v} x[u:u+rows, v:v+cols, :] . w[u, v]  (+b), f32 accumulate.
-
-    x: (R, C, Cin); w: (3, 3, Cin, Cout); returns (rows, cols, Cout) f32.
-    Uses rank-3 dot_general (contracting the channel dim) — Mosaic merges
-    the leading dims itself, avoiding reshape alignment constraints.
-    """
-    cout = w.shape[-1]
-    acc = jnp.zeros((rows, cols, cout), jnp.float32)
-    for u in range(3):
-        for v in range(3):
-            tap = x[u : u + rows, v : v + cols, :]
-            acc = acc + jax.lax.dot_general(
-                tap, w[u, v], (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    if b is not None:
-        acc = acc + b[None, None, :].astype(jnp.float32)
-    return acc
-
-
-def _taps_bcast(x2d, w, b, rows, cols, row0=0):
-    """Single-input-channel 3x3 conv on a 2-D strip via broadcast MACs.
-
-    x2d: (R, C); w: (3, 3, 1, Cout); returns (rows, cols, Cout) f32 for
-    output anchored at (row0, 0).  Mosaic can neither insert a minor dim
-    on a 2-D value nor broadcast an offset-sliced slab, so the WHOLE
-    strip is broadcast to the channel extent once (at offset 0) and all
-    tap slicing happens in 3-D.
-    """
-    cout = w.shape[-1]
-    x3 = jax.lax.broadcast_in_dim(
-        x2d, (x2d.shape[0], x2d.shape[1], cout), (0, 1)
-    )
-    acc = jnp.zeros((rows, cols, cout), jnp.float32)
-    for u in range(3):
-        for v in range(3):
-            tap = x3[row0 + u : row0 + u + rows, v : v + cols, :].astype(
-                jnp.float32
-            )
-            acc = acc + tap * w[u, v, 0][None, None, :].astype(jnp.float32)
-    if b is not None:
-        acc = acc + b[None, None, :].astype(jnp.float32)
-    return acc
-
-
 def _taps_bcast_ref(x3_ref, w, b, rows, cols, row0=0):
     """Single-input-channel conv taps read from a materialised broadcast.
 
@@ -137,7 +91,7 @@ def _taps_bcast_ref(x3_ref, w, b, rows, cols, row0=0):
 
 
 def _taps_matmul_ref(x_ref, w, b, rows, cols, row0=0, col0=0):
-    """Like :func:`_taps_matmul` but slicing a VMEM *ref* per tap.
+    """3x3 conv taps as dot_generals, slicing a VMEM *ref* per tap.
 
     Mosaic mis-computes offset slices of fused (non-materialised) values
     at the extreme columns; loads from a materialised scratch ref are
@@ -167,8 +121,8 @@ def _taps_matmul_ref(x_ref, w, b, rows, cols, row0=0, col0=0):
 #   c1[r] = lrelu(sum_u W1[u] c0[r+u-2])  needed rows [R0-1, R0+t-2]
 #   pool[p] = max(c1s[2p], c1s[2p+1]),    c1s[r] = c1[r-1] (zero r=0)
 # x rows needed: [R0-5, R0+t-2].  The input is pre-padded with 8 zero rows
-# on top (so DMA offsets stay 8-aligned: load rows [R0, R0+t+16) of the
-# padded array = image rows [R0-8, R0+t+8)) and 2/2 zero cols widened to a
+# on top (so DMA offsets stay 8-aligned: load rows [R0, R0+t+8) of the
+# padded array = image rows [R0-8, R0+t)) and 2/2 zero cols widened to a
 # 128-multiple on the right.
 
 
@@ -384,6 +338,10 @@ def dense_blindspot_unet(
     from spr_pick_tpu.models.blindspot import rot4_stack, rot4_unstack
 
     p = params
+    head_out = p["out_conv"]["conv"]["kernel"].shape[-1]
+    assert head_out == out_channels, (
+        f"out_channels={out_channels} but checkpoint head emits {head_out}"
+    )
     x4 = rot4_stack(x)
 
     if use_enc1_kernel:

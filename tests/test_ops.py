@@ -139,6 +139,44 @@ def test_nms_batch_matches_single(rng):
         assert set(map(tuple, c)) == set(map(tuple, c_ref))
 
 
+def test_waves_nms_tie_within_radius(rng):
+    """Two exact-score tied local maxima within the suppression radius:
+    greedy emits ONE (higher flat index first); the wave kernel used to
+    emit both."""
+    import jax.numpy as jnp
+
+    x = np.zeros((64, 64), np.float32)
+    x[30, 30] = 0.9
+    x[30, 33] = 0.9
+    s_ref, c_ref = non_maximum_suppression_np(x, 7, threshold=0.5)
+    s, c, n = non_maximum_suppression_waves(jnp.asarray(x), 7, 0.5, 16)
+    n = int(n)
+    assert len(s_ref) == 1 and n == 1
+    np.testing.assert_array_equal(np.asarray(c[:n]), c_ref)
+
+
+def test_blocked_nms_rejects_oversized_radius():
+    import jax.numpy as jnp
+
+    with pytest.raises(AssertionError, match="2\\*radius"):
+        non_maximum_suppression_blocked(
+            jnp.zeros((256, 256)), radius=40, threshold=0.5, block=64
+        )
+
+
+def test_nms_to_host_tie_parity_small_map():
+    """Small maps used to dispatch to the argmax kernel whose tie order
+    (lowest flat index) contradicts the oracle; all sizes now route
+    through the multipeak kernel."""
+    x = np.zeros((40, 40), np.float32)
+    x[10, 10] = 0.8
+    x[10, 14] = 0.8  # tie within radius 5
+    s_ref, c_ref = non_maximum_suppression_np(x, 5, threshold=0.5)
+    s, c = nms_to_host(x, 5, threshold=0.5, max_peaks=8)
+    np.testing.assert_array_equal(s, s_ref)
+    np.testing.assert_array_equal(c, c_ref)
+
+
 def test_nms_threshold_and_cap(rng):
     x = np.zeros((32, 32), np.float32)
     x[5, 5] = 1.0
