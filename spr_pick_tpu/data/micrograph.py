@@ -51,15 +51,22 @@ def _image_table(path: str, image_ext: str = "") -> pd.DataFrame:
     return pd.read_csv(path, sep="\t")
 
 
-def pad_to_multiple(img: np.ndarray, multiple: int) -> Tuple[np.ndarray, Tuple[int, int]]:
+def pad_to_multiple(img: np.ndarray, multiple: int,
+                    square: bool = False) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Reflection-pad H,W (trailing sides) up to a multiple.
 
     Parity: image_wrapper.py:221-249 (left/top 0, right/bottom padded).
-    Returns (padded, original_shape).
+    ``square=True`` additionally pads the shorter side to the longer one:
+    the blind-spot rot4 fold needs H == W (the reference's torch.cat of
+    90-degree rotations would CRASH on non-square micrographs; padding
+    square then cropping back is strictly better).  Returns
+    (padded, original_shape).
     """
     h, w = img.shape[:2]
     ph = (h + multiple - 1) // multiple * multiple
     pw = (w + multiple - 1) // multiple * multiple
+    if square:
+        ph = pw = max(ph, pw)
     if ph == h and pw == w:
         return img, (h, w)
     pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (img.ndim - 2)
@@ -238,19 +245,23 @@ class MicrographDataset:
         label = float(hm.ravel()[coord])
         return patch, label, self.names[g][i]
 
-    def test_item(self, index: int, pad_multiple: int = 32):
+    def test_item(self, index: int, pad_multiple: int = 32,
+                  square: bool = False):
         """Whole padded micrograph + metadata (micrograph.py:128-164).
 
         Carries the half-resolution heatmap `hm_small` like the reference
         test items (image_wrapper.py:18-22 HM_SMALL slot), padded to
         pad_multiple//2 (half the full-res pad grid, as in the reference).
+        ``square`` pads to a square canvas for blind-spot dense eval.
         """
         img = self.images[0][index]
         hm = self.hms[0][index]
         hm_small = self.hms_small[0][index]
-        padded, shape = pad_to_multiple(img, pad_multiple)
-        hm_p, _ = pad_to_multiple(hm, pad_multiple)
-        hm_s_p, _ = pad_to_multiple(hm_small, max(pad_multiple // 2, 1))
+        padded, shape = pad_to_multiple(img, pad_multiple, square=square)
+        hm_p, _ = pad_to_multiple(hm, pad_multiple, square=square)
+        hm_s_p, _ = pad_to_multiple(
+            hm_small, max(pad_multiple // 2, 1), square=square
+        )
         gt = None
         if self.gts:
             gt = self.gts[0][index]

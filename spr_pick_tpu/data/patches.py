@@ -75,11 +75,12 @@ class UnlabeledEvalDataset:
     def __len__(self):
         return len(self.dataset)
 
-    def test_item(self, index: int, pad_multiple: int = 32) -> Dict:
+    def test_item(self, index: int, pad_multiple: int = 32,
+                  square: bool = False) -> Dict:
         from spr_pick_tpu.data.micrograph import pad_to_multiple
 
         img = np.asarray(self.dataset[index], np.float32)
-        padded, shape = pad_to_multiple(img, pad_multiple)
+        padded, shape = pad_to_multiple(img, pad_multiple, square=square)
         gt = None
         if self.gt_dataset is not None:
             gt = np.asarray(self.gt_dataset[index], np.float32)

@@ -575,7 +575,10 @@ class DenoiserTrainer:
         while idx < len(indices):
             # Giant micrographs route through halo tiling (the whole-image
             # forward would exhaust HBM / compile a fresh shape per size).
-            first = self.testset.test_item(indices[idx], pad_multiple=32)
+            square = bool(getattr(self.denoiser, "blindspot", False))
+            first = self.testset.test_item(
+                indices[idx], pad_multiple=32, square=square
+            )
             if max(first["inp"].shape[1:3]) > self.tile_eval_threshold:
                 eval_history["n"] += 1
                 per = self._evaluate_tiled(first)
@@ -597,7 +600,7 @@ class DenoiserTrainer:
                 and idx + len(group) < len(indices)
             ):
                 nxt = self.testset.test_item(
-                    indices[idx + len(group)], pad_multiple=32
+                    indices[idx + len(group)], pad_multiple=32, square=square
                 )
                 if nxt["inp"].shape != group[0]["inp"].shape:
                     break

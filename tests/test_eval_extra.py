@@ -152,6 +152,53 @@ def test_batched_group_nms_wiring(tmp_path, rng):
             assert 0.02 < float(s) <= 1.0
 
 
+@pytest.mark.slow
+def test_non_square_micrograph_eval(tmp_path, rng):
+    """Non-square micrographs: the rot4 fold needs H == W, so the eval
+    path pads to square and crops back (the reference's torch.cat of
+    rotations would crash here)."""
+    from spr_pick_tpu.data import mrc
+    from spr_pick_tpu.train import DenoiserTrainer
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    img = rng.rand(224, 288).astype(np.float32)  # H != W
+    mrc.write(str(img_dir / "wide.mrc"), img)
+    (tmp_path / "imgs.txt").write_text(
+        f"image_name\tpath\nwide\t{img_dir / 'wide.mrc'}\n"
+    )
+    (tmp_path / "coords.txt").write_text(
+        "image_name\tx_coord\ty_coord\nwide\t150\t120\nwide\t90\t80\n"
+    )
+    c = cfg_mod.base()
+    c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    c[ConfigValue.NOISE_STYLE] = "gauss"
+    c[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
+    c[ConfigValue.ITERATIONS] = 4
+    c[ConfigValue.TRAIN_MINIBATCH_SIZE] = 4
+    c[ConfigValue.EVAL_INTERVAL] = 4
+    c[ConfigValue.PRINT_INTERVAL] = 1000
+    c[ConfigValue.SNAPSHOT_INTERVAL] = 1000
+    c[ConfigValue.NUM_EVAL] = 1
+    trainer = DenoiserTrainer(
+        c, mode="joint", alpha=0.75, tau=0.05, runs_dir=str(tmp_path / "runs")
+    )
+    trainer.set_train_data(str(tmp_path / "imgs.txt"))
+    trainer.set_train_label(str(tmp_path / "coords.txt"))
+    trainer.set_test_data(str(tmp_path / "imgs.txt"))
+    trainer.set_test_label(str(tmp_path / "coords.txt"))
+    trainer.train()
+
+    val_dir = os.path.join(trainer.run_dir_path, "val_imgs_joint")
+    score_files = [f for f in os.listdir(val_dir) if f.endswith("_scores.txt")]
+    assert score_files
+    rows = open(os.path.join(val_dir, score_files[0])).read().strip().splitlines()
+    for line in rows[1:]:
+        _, x, y, _ = line.split("\t")
+        # coords inside the ORIGINAL (unpadded) image, border-filtered
+        assert 30 < int(x) < 224 - 30 and 30 < int(y) < 288 - 30
+
+
 def test_ssdn_three_channel_full_covariance(rng):
     """3-channel ssdn denoise-only path (full triangular-A covariance)."""
     c = cfg_mod.base()
