@@ -61,6 +61,10 @@ _EVAL_DEFAULTS = {
     CV.NUM_EVAL: 1,
     CV.NMS: 15,
     CV.BB: 24,
+    # Seed NMS with a find_contamination() suppression mask (the reference
+    # declares this hook but its active path passes an empty set;
+    # algorithms.py:59-64, train.py:582-583).
+    CV.EXCLUDE_CONTAM: False,
 }
 # TPU-native additions (not present in the reference).
 _TPU_DEFAULTS = {

@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--batch_size", type=int)
     ev.add_argument("--nms", type=int)
     ev.add_argument("--num", type=int)
+    ev.add_argument(
+        "--exclude_contam",
+        action="store_true",
+        help="Seed NMS with a contamination mask detected on the denoised "
+        "output (reference find_contamination hook)",
+    )
     return parser
 
 
@@ -179,6 +185,8 @@ def run_eval(args: Dict):
         evaluator.cfg[ConfigValue.NMS] = args["nms"]
     if args.get("num") is not None:
         evaluator.cfg[ConfigValue.NUM_EVAL] = args["num"]
+    if args.get("exclude_contam"):
+        evaluator.cfg[ConfigValue.EXCLUDE_CONTAM] = True
     evaluator.evaluate()
 
 

@@ -462,7 +462,8 @@ def _batched_nms_fn(radius: int, threshold: float, max_peaks: int):
 
 
 def nms_batch_to_host(
-    heatmaps, radius: int, threshold: float = 0.02, max_peaks: int = 2048
+    heatmaps, radius: int, threshold: float = 0.02, max_peaks: int = 2048,
+    suppressed=None,
 ):
     """Greedy NMS over a (B, H, W) batch in ONE device program.
 
@@ -473,8 +474,17 @@ def nms_batch_to_host(
     among exactly-equal scores may differ from the unbatched kernel (the
     batched top_k lowering breaks ties differently); the pick sets and
     scores are identical.
+
+    ``suppressed``: optional (B, H, W) boolean mask of initially-suppressed
+    pixels (the reference's `contam` set, algorithms.py:59-77); masked
+    pixels can never be picked but do not block later picks near them —
+    exactly the reference's seeded-set semantics.
     """
     heatmaps = jnp.asarray(heatmaps)
+    if suppressed is not None:
+        heatmaps = jnp.where(
+            jnp.asarray(suppressed, bool), -jnp.inf, heatmaps
+        )
     scores, coords, counts = _batched_nms_fn(radius, float(threshold), max_peaks)(
         heatmaps
     )
@@ -488,7 +498,8 @@ def nms_batch_to_host(
 
 
 def nms_to_host(
-    heatmap, radius: int, threshold: float = 0.02, max_peaks: int = 2048
+    heatmap, radius: int, threshold: float = 0.02, max_peaks: int = 2048,
+    suppressed=None,
 ):
     """Run device NMS (multipeak kernel) and return trimmed numpy arrays.
 
@@ -496,8 +507,14 @@ def nms_to_host(
     with oracle-exact tie order (the basic kernel's argmax takes the
     LOWEST flat index among ties), so a size-based dispatch would resolve
     ties differently for small vs large maps.
+
+    ``suppressed``: optional (H, W) boolean mask of initially-suppressed
+    pixels (reference `contam` seeding, algorithms.py:59-77): masked
+    pixels are unpickable but don't suppress their neighbourhoods.
     """
     heatmap = jnp.asarray(heatmap)
+    if suppressed is not None:
+        heatmap = jnp.where(jnp.asarray(suppressed, bool), -jnp.inf, heatmap)
     scores, coords, count = non_maximum_suppression_multipeak(
         heatmap, radius, threshold, max_peaks
     )
@@ -505,7 +522,8 @@ def nms_to_host(
     return np.asarray(scores[:n]), np.asarray(coords[:n])
 
 
-def non_maximum_suppression_np(x: np.ndarray, r: int, threshold=-np.inf):
+def non_maximum_suppression_np(x: np.ndarray, r: int, threshold=-np.inf,
+                               suppressed=None):
     """Reference-semantics host NMS (oracle for tests / CPU fallback).
 
     Greedy over descending scores with disk suppression — re-implemented
@@ -515,11 +533,17 @@ def non_maximum_suppression_np(x: np.ndarray, r: int, threshold=-np.inf):
     stable sort is used, making ties deterministic (higher flat index
     first) and matching `non_maximum_suppression_multipeak` bit-for-bit
     even on quantised score maps.
+
+    ``suppressed``: optional (H, W) boolean initial suppression mask (the
+    reference's seeded `contam` set, algorithms.py:59-77).
     """
     h, w = x.shape
     flat = x.ravel()
     order = np.argsort(flat, kind="stable")[::-1]
-    suppressed = np.zeros((h, w), dtype=bool)
+    if suppressed is None:
+        suppressed = np.zeros((h, w), dtype=bool)
+    else:
+        suppressed = np.asarray(suppressed, bool).copy()
     yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
     disk = (yy ** 2 + xx ** 2) <= r * r
 

@@ -636,11 +636,25 @@ class DenoiserTrainer:
                 hms = np.asarray(outputs[PipelineOutput.DETECT])[
                     :, : shape[0], : shape[1], 0
                 ]
+                suppressed = None
+                if (
+                    self.cfg.get(ConfigValue.EXCLUDE_CONTAM, False)
+                    and PipelineOutput.IMG_DENOISED in outputs
+                ):
+                    from spr_pick_tpu.ops.algorithms import find_contamination
+
+                    den = np.asarray(outputs[PipelineOutput.IMG_DENOISED])[
+                        :, : shape[0], : shape[1], 0
+                    ]
+                    suppressed = np.stack(
+                        [find_contamination(den[j]) for j in range(len(group))]
+                    ).astype(bool)
                 group_picks = nms_batch_to_host(
                     hms,
                     int(self.cfg[ConfigValue.NMS]),
                     threshold=0.02,
                     max_peaks=int(self.cfg.get(ConfigValue.MAX_PEAKS, 2048)),
+                    suppressed=suppressed,
                 )
             for j, item in enumerate(group):
                 per = {
@@ -750,20 +764,36 @@ class DenoiserTrainer:
             heatmap = unpad(
                 np.asarray(outputs[PipelineOutput.DETECT])[0, :, :, 0], shape
             )
+            suppressed = None
+            if (
+                self.cfg.get(ConfigValue.EXCLUDE_CONTAM, False)
+                and PipelineOutput.IMG_DENOISED in outputs
+            ):
+                from spr_pick_tpu.ops.algorithms import find_contamination
+
+                den = unpad(
+                    np.asarray(outputs[PipelineOutput.IMG_DENOISED])[0, :, :, 0],
+                    shape,
+                )
+                suppressed = find_contamination(den).astype(bool)
             self.write_scores(
                 heatmap, name, path_for("scores", scoreformat),
                 picks=outputs.get("_picks"),
+                suppressed=suppressed,
             )
 
     def write_scores(self, heatmap: np.ndarray, name: str, out_path: str,
-                     picks=None):
+                     picks=None, suppressed=None):
         """On-device NMS -> `_scores.txt` rows with the 30 px border filter.
 
         Parity: train.py:557-571 (including the row/col output order:
         columns are named x_coord/y_coord but the reference writes
         (coords[:,1], coords[:,0]) = (row, col); preserved for downstream
         compatibility with convert_to_star).  `picks` carries precomputed
-        (scores, coords) from the batched-NMS path.
+        (scores, coords) from the batched-NMS path.  ``suppressed`` seeds
+        the NMS with an initial suppression mask (the reference's `contam`
+        set, algorithms.py:59-77); ignored when `picks` is given (the
+        batched path applies it before batch NMS).
         """
         if picks is not None:
             scores, coords = picks
@@ -773,6 +803,7 @@ class DenoiserTrainer:
                 int(self.cfg[ConfigValue.NMS]),
                 threshold=0.02,
                 max_peaks=int(self.cfg.get(ConfigValue.MAX_PEAKS, 2048)),
+                suppressed=suppressed,
             )
         x_max, y_max = heatmap.shape[0] - 30, heatmap.shape[1] - 30
         with open(out_path, "w") as f:

@@ -195,3 +195,44 @@ def test_nms_suppression_radius():
     x[10, 17] = 0.8  # outside r=5 -> kept
     scores, coords = nms_to_host(x, 5, threshold=0.02, max_peaks=16)
     np.testing.assert_allclose(scores, [1.0, 0.8])
+
+
+def test_nms_contamination_seed_matches_seeded_oracle(rng):
+    """Device NMS with an initial suppression mask == numpy greedy seeded
+    with the same set (reference `contam` semantics, algorithms.py:59-77):
+    masked pixels are unpickable but do NOT suppress their neighbours."""
+    x = rng.rand(128, 128).astype(np.float32)
+    mask = np.zeros((128, 128), bool)
+    mask[20:60, 30:80] = True
+    mask[100:110, 5:120] = True
+    s_ref, c_ref = non_maximum_suppression_np(
+        x, 9, threshold=0.3, suppressed=mask
+    )
+    s, c = nms_to_host(x, 9, threshold=0.3, max_peaks=1024, suppressed=mask)
+    np.testing.assert_array_equal(s, s_ref)
+    np.testing.assert_array_equal(c, c_ref)
+    # no pick inside the contaminated region
+    assert not mask[c[:, 1], c[:, 0]].any()
+    # seeding must not equal simply cropping: a peak just OUTSIDE the mask
+    # whose disk overlaps it must still be pickable
+    from spr_pick_tpu.ops.nms import nms_batch_to_host
+
+    batch = np.stack([x, x])
+    masks = np.stack([mask, np.zeros_like(mask)])
+    picks = nms_batch_to_host(
+        batch, 9, threshold=0.3, max_peaks=1024, suppressed=masks
+    )
+    np.testing.assert_array_equal(np.sort(picks[0][0])[::-1], s_ref)
+    s_plain, _ = non_maximum_suppression_np(x, 9, threshold=0.3)
+    np.testing.assert_array_equal(np.sort(picks[1][0])[::-1], s_plain)
+
+
+def test_find_contamination_masks_dark_blob():
+    from spr_pick_tpu.ops.algorithms import find_contamination
+
+    img = np.full((96, 96), 0.5, np.float32)
+    img += np.random.RandomState(0).randn(96, 96).astype(np.float32) * 0.01
+    img[40:56, 40:56] = -3.0  # deep dark contamination blob
+    mask = find_contamination(img)
+    assert mask[48, 48]
+    assert not mask[5, 5]
