@@ -321,6 +321,7 @@ class DevicePatchPipeline:
 
         self.images_dev = jax.device_put(stack)
         self.hms_dev = jax.device_put(hm_stack)
+        self.heights = np.array([im.shape[0] for im in flat_images], np.int32)
 
         crop_sz = self.crop
 
@@ -357,8 +358,41 @@ class DevicePatchPipeline:
         ys = (coord // w).astype(np.int32)
         return flat, ys, xs
 
+    def check_in_bounds(self, flat, ys, xs) -> None:
+        """Reject coordinates whose crop window would leave the true image.
+
+        The device gather uses ``dynamic_slice``, whose out-of-range clamping
+        would silently decouple the label (read at (y, x)) from the patch
+        centre — different semantics from the host path's zero-pad crop
+        (`_crop_zero_pad`).  The sampler's border margins
+        (enumerate_pu_coordinates: lo=72, hi=140) keep every draw in bounds
+        for any crop <= 144; this guards the invariant if either side
+        changes.
+        """
+        half = self.crop // 2
+        rest = self.crop - half
+        f = np.asarray(flat).reshape(-1)
+        y = np.asarray(ys).reshape(-1)
+        x = np.asarray(xs).reshape(-1)
+        bad = (
+            (y < half)
+            | (x < half)
+            | (y + rest > self.heights[f])
+            | (x + rest > self.widths[f])
+        )
+        if bad.any():
+            j = int(np.flatnonzero(bad)[0])
+            raise ValueError(
+                f"patch centre ({int(y[j])},{int(x[j])}) of image {int(f[j])} "
+                f"(h={int(self.heights[f[j]])}, w={int(self.widths[f[j]])}) "
+                f"puts the {self.crop}-px crop out of bounds; dynamic_slice "
+                f"would clamp and decouple the label from the patch centre. "
+                f"Sampler margins must be >= crop/2."
+            )
+
     def batch(self, packed_indices: np.ndarray) -> Dict[str, jnp.ndarray]:
         flat, ys, xs = self.decode(packed_indices)
+        self.check_in_bounds(flat, ys, xs)
         flips = (
             self._np_rng.rand(len(flat)) < 0.5
         ).astype(np.int32) if self.augment else np.zeros(len(flat), np.int32)

@@ -402,6 +402,7 @@ class DenoiserTrainer:
                 flat, ys, xs = self.patch_pipeline.decode(
                     packed.reshape(k, batch_size)
                 )
+                self.patch_pipeline.check_in_bounds(flat, ys, xs)
                 lrs = jnp.asarray(
                     [
                         compute_ramped_lrate(

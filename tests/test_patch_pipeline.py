@@ -52,3 +52,19 @@ def test_sampler_feeds_valid_coords(dataset):
     assert np.asarray(batch["inp"]).shape == (32, 64, 64, 1)
     # positive draws get heatmap labels > -1
     assert (np.asarray(batch["target"]) > -1).any()
+
+
+def test_edge_adjacent_coordinate_raises(dataset):
+    """An out-of-margin coordinate must raise, not silently clamp: the
+    device gather's dynamic_slice would otherwise decouple the label from
+    the patch centre (different semantics from the host zero-pad crop)."""
+    pipeline = DevicePatchPipeline(dataset, crop=64, augment=False)
+    w = dataset.images[0][0].shape[1]
+    edge = np.array([pack_index(0, 0, 5 * w + 5)], np.int64)  # y=5 < crop/2
+    with pytest.raises(ValueError, match="out of bounds"):
+        pipeline.batch(edge)
+    # far edge too: y within crop/2 of the image bottom
+    h = dataset.images[0][0].shape[0]
+    far = np.array([pack_index(0, 0, (h - 4) * w + 100)], np.int64)
+    with pytest.raises(ValueError, match="out of bounds"):
+        pipeline.batch(far)
