@@ -342,6 +342,13 @@ class DevicePatchPipeline:
         self._gather = gather
         self._np_rng = np.random.RandomState(0)
 
+    def state_dict(self):
+        """Flip-augment RNG state (resumable data plane)."""
+        return {"flip_rng_state": self._np_rng.get_state()}
+
+    def load_state_dict(self, sd) -> None:
+        self._np_rng.set_state(sd["flip_rng_state"])
+
     def decode(self, packed_indices: np.ndarray):
         """Packed sampler indices -> (flat image idx, ys, xs) int32 arrays.
 

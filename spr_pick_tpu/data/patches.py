@@ -60,6 +60,13 @@ class DenoisePatchPipeline:
         )
         return {k: jnp.asarray(v) for k, v in host.items()}
 
+    def state_dict(self):
+        """Crop/noise RNG state (resumable data plane)."""
+        return {"rng_state": self.rng.get_state()}
+
+    def load_state_dict(self, sd) -> None:
+        self.rng.set_state(sd["rng_state"])
+
 
 class UnlabeledEvalDataset:
     """Whole-image eval access over a folder/hdf5 dataset (no coordinates).

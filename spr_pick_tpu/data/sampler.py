@@ -79,10 +79,21 @@ def enumerate_pu_coordinates(
 
 
 class ShuffledSampler:
-    """Endless reshuffling iterator over a structured array."""
+    """Endless reshuffling iterator over a structured array.
 
-    def __init__(self, x: np.ndarray, random=np.random):
+    With ``seed`` given, the sampler owns a private RandomState and its
+    full position is resumable: the state is just (seed, #shuffles done,
+    cursor), and :meth:`load_state_dict` replays the shuffles from the
+    pristine enumerate order — O(#shuffles * n) instead of serialising the
+    multi-megabyte permuted coordinate array into every checkpoint.
+    """
+
+    def __init__(self, x: np.ndarray, random=np.random, seed: int = None):
         self.x = x
+        if seed is not None:
+            random = np.random.RandomState(seed)
+        self._seed = seed
+        self._shuffles = 0
         self.random = random
         self.i = len(self.x)
 
@@ -92,6 +103,7 @@ class ShuffledSampler:
     def __next__(self):
         if self.i >= len(self.x):
             self.random.shuffle(self.x)
+            self._shuffles += 1
             self.i = 0
         sample = self.x[self.i]
         self.i += 1
@@ -99,6 +111,28 @@ class ShuffledSampler:
 
     def __iter__(self):
         return self
+
+    def state_dict(self):
+        if self._seed is None:
+            raise ValueError(
+                "ShuffledSampler state is only resumable when constructed "
+                "with an explicit seed (shared-RNG shuffles can't be replayed)"
+            )
+        return {"seed": self._seed, "shuffles": self._shuffles, "i": self.i}
+
+    def load_state_dict(self, sd) -> None:
+        """Replay onto a freshly-constructed sampler (pristine `x` order)."""
+        if self._shuffles != 0:
+            raise ValueError("load_state_dict requires a fresh sampler")
+        if self._seed != sd["seed"]:
+            raise ValueError(
+                f"seed mismatch: sampler {self._seed}, checkpoint {sd['seed']}"
+            )
+        self.random = np.random.RandomState(self._seed)
+        for _ in range(sd["shuffles"]):
+            self.random.shuffle(self.x)
+        self._shuffles = sd["shuffles"]
+        self.i = sd["i"]
 
 
 class StratifiedCoordinateSampler:
@@ -116,8 +150,11 @@ class StratifiedCoordinateSampler:
         i = 0
         for group in labels:
             P, U = enumerate_pu_coordinates(group, margin_lo, margin_hi)
-            groups.append(ShuffledSampler(P, random=random))
-            groups.append(ShuffledSampler(U, random=random))
+            # Private per-group RNGs with seeds derived from the master
+            # stream: every group's shuffle history is replayable, making
+            # the whole sampler resumable (state_dict below).
+            groups.append(ShuffledSampler(P, seed=int(random.randint(2 ** 31 - 1))))
+            groups.append(ShuffledSampler(U, seed=int(random.randint(2 ** 31 - 1))))
 
             proportions[i // 2, 0] = (len(U) - len(P)) / max(len(U), 1)
             proportions[i // 2, 1] = len(P) / max(len(U), 1)
@@ -172,6 +209,28 @@ class StratifiedCoordinateSampler:
         return np.fromiter(
             (next(self) for _ in range(batch_size)), dtype=np.int64, count=batch_size
         )
+
+    def state_dict(self):
+        """Full resumable state: master RNG + history debt + every group's
+        replayable shuffle position.  The reference drops this on resume
+        (train.py:975-979); serialised here so a killed-and-resumed run
+        draws the identical next batches."""
+        return {
+            "rng_state": self.random.get_state(),
+            "history": self.history.copy(),
+            "groups": [g.state_dict() for g in self.groups],
+        }
+
+    def load_state_dict(self, sd) -> None:
+        self.random.set_state(sd["rng_state"])
+        self.history[:] = sd["history"]
+        if len(sd["groups"]) != len(self.groups):
+            raise ValueError(
+                f"group count mismatch: sampler {len(self.groups)}, "
+                f"checkpoint {len(sd['groups'])} — dataset changed?"
+            )
+        for g, gsd in zip(self.groups, sd["groups"]):
+            g.load_state_dict(gsd)
 
 
 class FixedLengthSampler:

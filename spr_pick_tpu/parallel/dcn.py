@@ -51,6 +51,53 @@ def shard_sizes(n_items: int, count: int) -> List[int]:
     return [len(range(i, n_items, count)) for i in range(count)]
 
 
+def metrics_to_vector(history, keys: Sequence[str]) -> np.ndarray:
+    """Flatten Metric accumulators into a summable float64 vector.
+
+    Layout: [total_k0, ..., total_kn, n_k0, ..., n_kn].  Empty metrics
+    contribute zeros, so hosts whose shard never produced a metric (e.g.
+    no ground-truth micrographs on that host) merge as no-ops.
+    """
+    totals = np.zeros(len(keys), np.float64)
+    counts = np.zeros(len(keys), np.float64)
+    for j, k in enumerate(keys):
+        m = history[k]
+        if m.total is not None:
+            totals[j] = float(np.asarray(m.total))
+        counts[j] = float(m.n)
+    return np.concatenate([totals, counts])
+
+
+def vector_to_metrics(history, keys: Sequence[str], vec: np.ndarray) -> None:
+    """Write a (merged) metric vector back into the MetricDict in place."""
+    k = len(keys)
+    for j, key in enumerate(keys):
+        m = history[key]
+        n = int(round(vec[k + j]))
+        if n == 0:
+            m.reset()
+        else:
+            m.total = np.asarray(vec[j], np.float64)
+            m.n = n
+
+
+def allreduce_metrics(history, keys: Sequence[str]) -> None:
+    """Sum Metric accumulators across all hosts, in place.
+
+    Identity on single-process runtimes.  ``keys`` must be the same on
+    every host (derive them from cfg, not from which metrics happened to
+    be touched) — process_allgather aligns by position.  Used by the
+    host-sharded evaluator so the logged n/PSNR are GLOBAL, not per-host.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    local = metrics_to_vector(history, keys)
+    merged = np.asarray(multihost_utils.process_allgather(local)).sum(axis=0)
+    vector_to_metrics(history, keys, merged)
+
+
 def global_batch(local: np.ndarray, mesh: Mesh, axis: str = DATA_AXIS):
     """Assemble per-host local batches into one global sharded array.
 

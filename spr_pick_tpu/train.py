@@ -204,6 +204,11 @@ class DenoiserTrainer:
                 balance=0.1,
                 size=cfg[ConfigValue.ITERATIONS]
                 * cfg[ConfigValue.TRAIN_MINIBATCH_SIZE],
+                # Own RandomState (not the np.random global): deterministic
+                # runs and a serialisable data plane (data_state_dict).
+                random=np.random.RandomState(
+                    int(cfg.get(ConfigValue.SEED, 0))
+                ),
             )
             pipeline = DevicePatchPipeline(
                 dataset, crop=cfg[ConfigValue.TRAIN_PATCH_SIZE], augment=True
@@ -322,6 +327,10 @@ class DenoiserTrainer:
         logger.info("Loading Training Dataset...")
         self.trainset, self.train_sampler, self.patch_pipeline = self.train_data()
         self._scan_stacks_replicated = False
+        if getattr(self, "_pending_data_state", None):
+            self.load_data_state_dict(self._pending_data_state)
+            self._pending_data_state = None
+            logger.info("restored data-plane state (sampler + augment RNGs)")
         logger.info("Loaded Training Dataset.")
         if self.cfg[ConfigValue.TEST_DATA_PATH]:
             logger.info("Loading Validation Dataset...")
@@ -568,15 +577,21 @@ class DenoiserTrainer:
         # the same computations (SPMD), so the full list is kept and the
         # batch itself is sharded instead.
         indices = list(iter(self.test_sampler))
+        host_sharded = False
         if self.mesh is None:
             from spr_pick_tpu.parallel.dcn import host_shard
 
             indices = host_shard(indices)
+            host_sharded = True
         idx = 0
         while idx < len(indices):
             # Giant micrographs route through halo tiling (the whole-image
             # forward would exhaust HBM / compile a fresh shape per size).
-            square = bool(getattr(self.denoiser, "blindspot", False))
+            # Square padding is only needed when the blind-spot rot4 fold
+            # has no rectangular route (dense_blindspot_unet two-lane fold).
+            square = bool(
+                getattr(self.denoiser, "blindspot", False)
+            ) and not getattr(self.denoiser, "supports_rect_dense", False)
             first = self.testset.test_item(
                 indices[idx], pad_multiple=32, square=square
             )
@@ -675,6 +690,17 @@ class DenoiserTrainer:
                 if output_callback:
                     output_callback(idx + j, per, item)
             idx += len(group)
+
+        if host_sharded:
+            # Each host evaluated only its shard; sum the n/PSNR
+            # accumulators across processes so the logged metrics are
+            # GLOBAL (identity on single-process runtimes).  The key list
+            # is cfg-derived — identical on every host regardless of
+            # which metrics its shard touched.
+            from spr_pick_tpu.parallel.dcn import allreduce_metrics
+
+            keys = ["n"] + list(self.img_outputs(prefix="psnr").values())
+            allreduce_metrics(eval_history, keys)
 
     def _evaluate_tiled(self, item: Dict) -> Dict:
         """Halo-tiled dense pass for micrographs above `tile_eval_threshold`
@@ -855,7 +881,37 @@ class DenoiserTrainer:
                 self.mode,
                 iteration,
                 rng_key=self._rng_key,
+                extra={"data_state": self.data_state_dict()},
             )
+
+    def data_state_dict(self):
+        """Serialisable data-plane state: sampler position + augment RNGs.
+
+        The reference drops all of this on resume (train.py:975-979 rebuilds
+        the sampler from scratch) so a resumed run re-draws early samples;
+        here — consistent with the optimizer-state restore — the full
+        stochastic data plane is checkpointed: a killed-and-resumed run
+        draws the identical next batches.
+        """
+        state = {}
+        if self.train_sampler is not None and hasattr(
+            self.train_sampler, "state_dict"
+        ):
+            state["sampler"] = self.train_sampler.state_dict()
+        if self.patch_pipeline is not None and hasattr(
+            self.patch_pipeline, "state_dict"
+        ):
+            state["pipeline"] = self.patch_pipeline.state_dict()
+        return state
+
+    def load_data_state_dict(self, state) -> None:
+        """Apply a data_state_dict onto freshly-built sampler/pipeline."""
+        if not state:
+            return
+        if "sampler" in state and self.train_sampler is not None:
+            self.train_sampler.load_state_dict(state["sampler"])
+        if "pipeline" in state and self.patch_pipeline is not None:
+            self.patch_pipeline.load_state_dict(state["pipeline"])
 
     def load_state_dict(self, path_or_state):
         """Load a `.training` checkpoint and rebuild engine + state.
@@ -894,6 +950,9 @@ class DenoiserTrainer:
             self._rng_key = jnp.asarray(state["rng_key"])
         else:
             self._rng_key = jax.random.PRNGKey(0)
+        # Data plane (sampler/augment RNGs) is built lazily by train();
+        # stash its checkpointed state for application there.
+        self._pending_data_state = (state.get("extra") or {}).get("data_state")
         self._train_step = None
         self._train_scan = None
         self._eval_step = None
