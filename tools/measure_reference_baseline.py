@@ -50,7 +50,7 @@ import torch
 from spr_pick.models.joint_network_v2 import JointNetwork  # noqa: E402
 
 
-def bench_dense_inference(n_warm=0, n_iter=1, size=1024):
+def bench_dense_inference(n_warm=1, n_iter=3, size=1024):
     model = JointNetwork(in_channels=1, out_channels=2, blindspot=True, detect=True)
     model.eval()
     model.fill()
@@ -66,7 +66,46 @@ def bench_dense_inference(n_warm=0, n_iter=1, size=1024):
     return dt
 
 
-def bench_train_step(n_warm=1, n_iter=5, batch=4, patch=64):
+def bench_denoise_train_step(model_ctor, n_warm=2, n_iter=5, batch=4, patch=64):
+    """Denoise-only reference train step (fwd+bwd+Adam), CONSERVATIVE lower
+    bound on the reference's per-iteration cost: no data loading, no noise
+    synthesis, no sigma network — so `vs_baseline` understates the rebuild's
+    advantage for configs 1-3."""
+    model = model_ctor()
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), betas=[0.9, 0.99], lr=1e-4)
+    x = torch.rand(batch, 1, patch, patch)
+
+    def step():
+        opt.zero_grad()
+        out = model(x)
+        loss = (out ** 2).mean()
+        loss.backward()
+        opt.step()
+
+    for _ in range(n_warm):
+        step()
+    t0 = time.time()
+    for _ in range(n_iter):
+        step()
+    return (time.time() - t0) / n_iter
+
+
+def bench_reference_nms(size=1024, r=15, threshold=0.02):
+    """Reference host NMS on a worst-case (untrained-net) heatmap: sigmoid
+    of small logits, virtually every pixel above the 0.02 floor."""
+    from spr_pick.utils.algorithms import non_maximum_suppression
+
+    rng = np.random.RandomState(0)
+    hm = 1.0 / (1.0 + np.exp(-0.1 * rng.randn(size, size).astype(np.float32)))
+    t0 = time.time()
+    scores, coords = non_maximum_suppression(hm, r, set(), threshold)
+    dt = time.time() - t0
+    print(f"  reference NMS: {len(scores)} picks in {dt:.1f}s", flush=True)
+    return dt
+
+
+def bench_train_step(n_warm=2, n_iter=5, batch=4, patch=64):
     model = JointNetwork(in_channels=1, out_channels=2, blindspot=True, detect=True)
     model.train()
     model.unfill()
@@ -90,10 +129,54 @@ def bench_train_step(n_warm=1, n_iter=5, batch=4, patch=64):
 
 
 if __name__ == "__main__":
+    import json
+    import os
+
     torch.set_num_threads(torch.get_num_threads())
+    from spr_pick.models.noise_network import NoiseNetwork  # noqa: E402
+
+    results = {}
+
+    dt = bench_denoise_train_step(
+        lambda: NoiseNetwork(in_channels=1, out_channels=1, blindspot=False),
+        batch=2,
+    )
+    results["train_n2c"] = round(dt, 4)
+    print(f"reference n2c train step (batch 2): {dt*1000:.1f} ms/step", flush=True)
+
+    dt = bench_denoise_train_step(
+        lambda: NoiseNetwork(in_channels=1, out_channels=1, blindspot=False),
+        batch=4,
+    )
+    results["train_n2v"] = round(dt, 4)
+    print(f"reference n2v train step (batch 4): {dt*1000:.1f} ms/step", flush=True)
+
+    dt = bench_denoise_train_step(
+        lambda: NoiseNetwork(in_channels=1, out_channels=2, blindspot=True),
+        batch=4,
+    )
+    results["train_u_only"] = round(dt, 4)
+    print(f"reference u_only train step (batch 4, blindspot): {dt*1000:.1f} ms/step",
+          flush=True)
+
     dt_tr = bench_train_step()
+    results["train_joint"] = round(dt_tr, 4)
     print(f"reference joint train step (batch 4, 64^2): {dt_tr*1000:.1f} ms/step "
           f"({1/dt_tr:.2f} it/s)", flush=True)
+
+    dt_nms = bench_reference_nms()
     dt_inf = bench_dense_inference()
+    results["dense_infer"] = round(dt_inf, 2)
+    # End-to-end eval = dense forward + host NMS (PNG/TSV writes omitted:
+    # conservative lower bound on the reference's cost).
+    results["eval_e2e"] = round(dt_inf + dt_nms, 2)
     print(f"reference dense 1024^2 joint inference: {dt_inf:.3f} s/micrograph "
           f"({1/dt_inf:.3f} micrographs/s) [torch CPU, {torch.get_num_threads()} threads]")
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "reference_cpu_baseline.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out_path}: {results}")
