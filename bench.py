@@ -1,33 +1,39 @@
 #!/usr/bin/env python
-"""Headline benchmarks: dense joint inference + training throughput.
+"""Headline benchmarks: all five BASELINE.json configs.
 
-Workloads (BASELINE.json metrics):
+Workloads (BASELINE.md "Configs to benchmark"):
 
-1. "micrographs/sec/chip for 1024^2 tiled inference": blind-spot U-Net
-   denoise (mu/sigma + PME, Pallas-fused dense path) + dense per-pixel
-   detector heatmap + on-device greedy multipeak NMS (worst case: the
-   2048-peak cap is hit), batch of 2 micrographs per step, single chip.
-   Only the picks (~24 KB) and a checksum travel to the host — the
-   production contract (SURVEY.md §7.3: "ship only the few-hundred
-   picks").
-2. "train iters/sec": the scan-chunked joint training step (both
-   flip-TTA forwards, PU + NLL + consistency losses, Adam, BN stats,
-   HBM patch gather), batch 4 of 64^2 patches — the trainer's fast path
-   (steps.make_train_scan).
+1. n2c supervised denoise train step, gaussian noise, 64px patches,
+   batch 2 — includes the host noise-synth batch prep (the production
+   path for folder/hdf5 data).
+2. n2v masked blind-spot train step, gauss, batch 4.
+3. ssdn_u_only blind-spot + sigma-net (noise_value=var) train step,
+   batch 4.
+4. ssdn joint denoise+detect train (scan-chunked fast path, batch 4 of
+   64^2 patches, both flip-TTA forwards, PU + NLL + consistency, Adam,
+   BN, HBM patch gather) — the trainer's fast path.
+5a. end-to-end evaluator pass: DenoiserEvaluator._evaluate over
+   synthetic 1024^2 micrographs INCLUDING artifact export
+   (PNG dumps + batched NMS + _scores.txt) — the number users get.
+5b. device-only dense joint inference (denoise+detect+NMS, batch 2,
+   worst-case 2048-peak NMS, only picks to host) — the HEADLINE, last
+   line, with the train number embedded.
 
-Prints one JSON line per metric; the HEADLINE (inference) line is LAST
-and also embeds the training number as an extra key so drivers that
-record a single line capture both.
+Prints one JSON line per metric; the headline line is LAST so drivers
+that record a single line capture it (plus the embedded train keys).
 
-`vs_baseline` compares against the PyTorch reference on CPU (no published
-numbers exist; SURVEY.md §6), measured with
-tools/measure_reference_baseline.py on this host: 142.8 s/micrograph
-dense inference; 3.711 s/iteration training.
+`vs_baseline` compares against the PyTorch reference on this host's CPU
+(no published numbers exist; SURVEY.md §6), measured with
+tools/measure_reference_baseline.py (warmed, multi-iteration): see
+REFERENCE_CPU below.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
+import tempfile
 import time
 from functools import partial
 
@@ -42,10 +48,23 @@ from spr_pick_tpu import cfg as cfg_mod
 from spr_pick_tpu.denoiser import Denoiser
 from spr_pick_tpu.ops.nms import non_maximum_suppression_multipeak
 from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm, NoiseValue, PipelineOutput
-from spr_pick_tpu.steps import init_state, make_train_scan
+from spr_pick_tpu.steps import init_state, make_train_scan, make_train_step
 
-REFERENCE_CPU_SEC_PER_MICROGRAPH = 142.8
-REFERENCE_CPU_SEC_PER_TRAIN_ITER = 3.711
+# Reference (torch CPU, this host) seconds per unit, measured with
+# tools/measure_reference_baseline.py.  Keys match the metric lines below.
+REFERENCE_CPU = {
+    "train_joint": 3.1202,   # s/iter, batch 4   (joint fwd x2 + bwd + Adam)
+    "train_n2c": 0.1938,     # s/iter, batch 2   (NoiseNetwork)
+    "train_n2v": 0.3551,     # s/iter, batch 4   (NoiseNetwork; mask prep omitted)
+    "train_u_only": 1.6209,  # s/iter, batch 4   (blindspot net; sigma-net omitted)
+    "eval_e2e": 166.3,       # s/micrograph      (dense fwd + host NMS; writes omitted)
+    "dense_infer": 165.2,    # s/micrograph      (fill()-dense fwd, 1+3 warmed iters)
+}
+_REF_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "reference_cpu_baseline.json")
+if os.path.exists(_REF_FILE):
+    with open(_REF_FILE) as f:
+        REFERENCE_CPU.update(json.load(f))
 
 SIZE = 1024
 BATCH = 2
@@ -57,6 +76,16 @@ TRAIN_CROP = 64
 TRAIN_K = 64  # steps per scan chunk
 
 
+def emit(metric, value, unit, ref_key, extra=None):
+    ref = REFERENCE_CPU.get(ref_key)
+    line = {"metric": metric, "value": round(value, 4), "unit": unit,
+            "vs_baseline": round(value * ref, 2) if ref else None}
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
+    return line
+
+
 def make_denoiser():
     c = cfg_mod.base()
     c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
@@ -64,6 +93,61 @@ def make_denoiser():
     c[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
     cfg_mod.infer(c, model_only=True)
     return c, Denoiser(c, mode="joint")
+
+
+# ---------------------------------------------------------------------------
+# Configs 1-3: denoise-only train steps (production path incl. host prep)
+# ---------------------------------------------------------------------------
+
+
+class _ArrayDataset:
+    def __init__(self, imgs):
+        self.imgs = imgs
+
+    def __len__(self):
+        return len(self.imgs)
+
+    def __getitem__(self, i):
+        return self.imgs[i]
+
+
+def bench_denoise_train(algorithm, noise_value, batch, n_iter=20, n_warm=3):
+    """Train-step throughput for a denoise-only pipeline, including the
+    DenoisePatchPipeline host batch prep (crop + noise synth) — the real
+    per-iteration cost for folder/hdf5 training."""
+    from spr_pick_tpu.data.patches import DenoisePatchPipeline
+
+    c = cfg_mod.base()
+    c[ConfigValue.ALGORITHM] = algorithm
+    c[ConfigValue.NOISE_STYLE] = "gauss25"
+    if noise_value is not None:
+        c[ConfigValue.NOISE_VALUE] = noise_value
+    cfg_mod.infer(c, model_only=True)
+    den = Denoiser(c, mode="denoise")
+    state = init_state(den, seed=0, patch=TRAIN_CROP)
+    step = make_train_step(den, alpha=0.75, tau=0.01)
+
+    rng = np.random.RandomState(0)
+    imgs = [rng.randn(512, 512).astype(np.float32) for _ in range(4)]
+    pipe = DenoisePatchPipeline(
+        _ArrayDataset(imgs), patch=TRAIN_CROP, algorithm=algorithm,
+        noise_style="gauss25", seed=0,
+    )
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-4)
+    for _ in range(n_warm):
+        state, metrics = step(state, pipe.batch(batch), key, lr)
+    _ = float(np.asarray(metrics["loss"]))
+    t0 = time.time()
+    for _ in range(n_iter):
+        state, metrics = step(state, pipe.batch(batch), key, lr)
+    _ = float(np.asarray(metrics["loss"]))
+    return n_iter / (time.time() - t0)
+
+
+# ---------------------------------------------------------------------------
+# Config 4: joint scan-chunked training
+# ---------------------------------------------------------------------------
 
 
 def bench_train(den, state):
@@ -103,30 +187,92 @@ def bench_train(den, state):
     return 1.0 / dt, state
 
 
+# ---------------------------------------------------------------------------
+# Config 5a: true end-to-end evaluator (incl. artifact export)
+# ---------------------------------------------------------------------------
+
+
+def bench_eval_e2e(n_micrographs=4, size=1024):
+    """DenoiserEvaluator._evaluate over synthetic micrographs, including
+    every host artifact the evaluator delivers: PNG dumps (nsy/out/...,
+    pred_tar), batched NMS and `_scores.txt` — the end-to-end
+    micrographs/sec a user observes, not just the device program."""
+    from spr_pick_tpu.data import mrc as mrc_mod
+    from spr_pick_tpu.eval import DenoiserEvaluator
+    from spr_pick_tpu.utils import checkpoint as ckpt_mod
+
+    tmp = tempfile.mkdtemp(prefix="bench_eval_")
+    try:
+        rng = np.random.RandomState(0)
+        rows = []
+        for i in range(n_micrographs):
+            img = rng.randn(size, size).astype(np.float32) * 0.5
+            path = os.path.join(tmp, f"mic{i}.mrc")
+            mrc_mod.write(path, img)
+            rows.append(f"mic{i}\t{path}")
+        images_txt = os.path.join(tmp, "imgs.txt")
+        with open(images_txt, "w") as f:
+            f.write("image_name\tpath\n" + "\n".join(rows) + "\n")
+
+        c, den = make_denoiser()
+        state = init_state(den, seed=0, patch=TRAIN_CROP)
+        wt = os.path.join(tmp, "model.wt")
+        ckpt_mod.save_weights(wt, state.trainable, state.static, c, "joint")
+
+        evaluator = DenoiserEvaluator(
+            wt, runs_dir=os.path.join(tmp, "runs"), mode="joint"
+        )
+        evaluator.cfg[ConfigValue.TEST_MINIBATCH_SIZE] = 2
+        evaluator.set_test_data(images_txt)
+        # Warm pass compiles the dense program; timed pass measures the
+        # steady-state number on a FRESH evaluator (histories reset).
+        evaluator.evaluate()
+        evaluator.reset_metrics(train=False)
+        t0 = time.time()
+        evaluator._evaluate(
+            output_callback=evaluator.eval_output_callback(), picks_for_all=True
+        )
+        dt = (time.time() - t0) / n_micrographs
+        return 1.0 / dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     c, den = make_denoiser()
     state = init_state(den, seed=0, patch=64)
     nms_radius = int(c[ConfigValue.NMS])
     max_peaks = int(c[ConfigValue.MAX_PEAKS])
 
+    # Configs 1-3
+    n2c = bench_denoise_train(NoiseAlgorithm.NOISE_TO_CLEAN, None, batch=2)
+    emit("n2c train step (batch 2, incl. host prep), single chip",
+         n2c, "iters/sec", "train_n2c")
+    n2v = bench_denoise_train(NoiseAlgorithm.NOISE_TO_VOID, None, batch=4)
+    emit("n2v train step (batch 4, incl. host prep), single chip",
+         n2v, "iters/sec", "train_n2v")
+    u_only = bench_denoise_train(
+        NoiseAlgorithm.SELFSUPERVISED_DENOISING_MEAN_ONLY,
+        NoiseValue.UNKNOWN_VARIABLE, batch=4,
+    )
+    emit("ssdn_u_only train step (batch 4, sigma-net, incl. host prep), single chip",
+         u_only, "iters/sec", "train_u_only")
+
+    # Config 4
     train_iters_per_sec, _ = bench_train(den, state)
+    emit("joint train step (batch 4, scan-chunked), single chip",
+         train_iters_per_sec, "iters/sec", "train_joint")
+
+    # Config 5a: end-to-end evaluator incl. artifacts
+    e2e = bench_eval_e2e()
+    emit("end-to-end eval incl. artifact export (PNGs+NMS+scores), single chip",
+         e2e, "micrographs/sec", "eval_e2e")
+
+    # Config 5b: device-only dense inference headline (LAST line)
     # Fresh init for inference: the worst-case-NMS claim (sigmoid ~0.5
     # everywhere -> 2048-peak cap) holds for untrained weights; timing on
     # the just-trained state would quietly lighten the NMS workload.
     state = init_state(den, seed=0, patch=64)
-    print(
-        json.dumps(
-            {
-                "metric": "joint train step (batch 4, scan-chunked), single chip",
-                "value": round(train_iters_per_sec, 2),
-                "unit": "iters/sec",
-                "vs_baseline": round(
-                    train_iters_per_sec * REFERENCE_CPU_SEC_PER_TRAIN_ITER, 2
-                ),
-            }
-        ),
-        flush=True,
-    )
 
     nms = partial(
         non_maximum_suppression_multipeak,
@@ -167,21 +313,16 @@ def main():
         run_once()
     dt = (time.time() - t0) / (N_ITERS * BATCH)
 
-    value = 1.0 / dt
-    vs_baseline = value * REFERENCE_CPU_SEC_PER_MICROGRAPH
-    print(
-        json.dumps(
-            {
-                "metric": "dense joint 1024^2 inference (denoise+detect+NMS), single chip",
-                "value": round(value, 4),
-                "unit": "micrographs/sec",
-                "vs_baseline": round(vs_baseline, 2),
-                "train_iters_per_sec": round(train_iters_per_sec, 2),
-                "train_vs_baseline": round(
-                    train_iters_per_sec * REFERENCE_CPU_SEC_PER_TRAIN_ITER, 2
-                ),
-            }
-        )
+    ref_tr = REFERENCE_CPU.get("train_joint")
+    emit(
+        "dense joint 1024^2 inference (denoise+detect+NMS), single chip",
+        1.0 / dt, "micrographs/sec", "dense_infer",
+        extra={
+            "train_iters_per_sec": round(train_iters_per_sec, 2),
+            "train_vs_baseline": round(train_iters_per_sec * ref_tr, 2)
+            if ref_tr else None,
+            "eval_e2e_micrographs_per_sec": round(e2e, 4),
+        },
     )
 
 

@@ -183,9 +183,20 @@ class Denoiser:
     # Forward helpers
     # ------------------------------------------------------------------
 
+    @property
+    def supports_rect_dense(self) -> bool:
+        """Whether dense eval handles RECTANGULAR micrographs natively
+        (two-lane rotation fold in dense_blindspot_unet) so the data layer
+        can skip the square-padding tax.  Non-blindspot models are always
+        rect-safe; blindspot models need the fused dense route."""
+        if not self.blindspot:
+            return True
+        return self.fused_dense and self.has_joint_model and self.in_channels == 1
+
     def _can_fuse_dense(self, inp) -> bool:
         """Optimised dense path preconditions: blind-spot joint model,
-        single input channel, square input on the 32-px pad grid.  The
+        single input channel, H and W on the 32-px pad grid (square inputs
+        take the rot4 fold, rectangular ones the two-lane fold).  The
         default path is pure XLA (SPMD-partitionable; the opt-in Pallas
         kernels are the only thing that would not shard)."""
         return (
@@ -194,8 +205,8 @@ class Denoiser:
             and self.blindspot
             and self.in_channels == 1
             and inp.ndim == 4
-            and inp.shape[1] == inp.shape[2]
             and inp.shape[1] % 32 == 0
+            and inp.shape[2] % 32 == 0
         )
 
     def _apply_model_fused(self, model_vars, inp, rng):

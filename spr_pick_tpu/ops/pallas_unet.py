@@ -41,10 +41,12 @@ ShiftConv (pad top k//2, SAME conv, crop bottom) computes
 and every conv zero-pads its own INPUT, so values computed outside the
 image must be re-zeroed before the next conv (the `inside` masks).
 
-Square inputs only (the rot4 fold requires H == W, as in the reference,
-whose ``torch.cat`` of 90-degree rotations likewise needs square maps).
-On non-TPU backends the kernels run in interpret mode so the same tests
-pass everywhere.
+Square inputs take the reference's single rot4 batch fold; rectangular
+inputs (H != W) take a two-lane fold (rot0/180 at H x W, rot90/270 at
+W x H) through the same backbone — see ``dense_blindspot_unet``.  (The
+reference's ``torch.cat`` of 90-degree rotations needs square maps and
+would crash.)  On non-TPU backends the kernels run in interpret mode so
+the same tests pass everywhere.
 """
 
 from __future__ import annotations
@@ -321,29 +323,102 @@ def _pool_shifted(x):
     return y.at[:, 0].max(jnp.array(0.0, y.dtype))
 
 
-def dense_blindspot_unet(
-    params: Dict,
-    x: jnp.ndarray,
-    out_channels: int,
-    levels: int = 5,
-    cdtype=jnp.bfloat16,
-    enc1_band: int = 8,
-    head_band: int = 2,
-    use_enc1_kernel: bool = False,
-    use_head_kernel: bool = False,
-) -> jnp.ndarray:
-    """Pallas-accelerated equivalent of ``BlindspotUNet.apply`` (blindspot
-    mode) for dense whole-image inference.  ``params`` is the module's
-    param subtree; returns float32 (B, S, S, out_channels)."""
-    from spr_pick_tpu.models.blindspot import rot4_stack, rot4_unstack
-
-    p = params
-    head_out = p["out_conv"]["conv"]["kernel"].shape[-1]
-    assert head_out == out_channels, (
-        f"out_channels={out_channels} but checkpoint head emits {head_out}"
+def _shift_conv_packed(x, w, b, groups, blindspot=True, k=3,
+                       cdtype=jnp.bfloat16):
+    """ShiftConv over `groups` rotation lanes PACKED into the channel dim
+    (lane-major blocks), weights shared across lanes via a grouped conv
+    with the kernel tiled along the output axis.  Mathematically identical
+    to running the per-lane conv on a `groups`-times-larger batch, but the
+    fat channel dim amortises the TPU's 128-lane VMEM padding: C=48 lanes
+    pad 2.7x, 4x48=192 pads only 1.33x."""
+    half = k // 2
+    padding = ((2 * half, 0), (half, half)) if blindspot else (
+        (half, half), (half, half)
     )
-    x4 = rot4_stack(x)
+    wt = jnp.concatenate([w.astype(cdtype)] * groups, axis=-1)
+    y = jax.lax.conv_general_dilated(
+        x.astype(cdtype),
+        wt,
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    return y + jnp.tile(b.astype(cdtype), groups)
 
+
+def _cat_lanes(a: jnp.ndarray, b_: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Channel-concat two lane-major packed tensors PER LANE (so grouped
+    convs keep reading each lane's features contiguously)."""
+    bb, h, w, ca = a.shape
+    cb = b_.shape[-1]
+    a = a.reshape(bb, h, w, groups, ca // groups)
+    b_ = b_.reshape(bb, h, w, groups, cb // groups)
+    return jnp.concatenate([a, b_], axis=-1).reshape(bb, h, w, ca + cb)
+
+
+def _dense_backbone_packed(
+    p: Dict,
+    xpack: jnp.ndarray,
+    groups: int,
+    levels: int,
+    cdtype,
+) -> jnp.ndarray:
+    """Channel-packed variant of :func:`_dense_backbone`: the rotation
+    lanes ride the channel dim (lane-major) instead of the batch dim.
+    Returns the shift-down-applied features, (B, H, W, groups*dec)."""
+
+    def conv(h, name):
+        return _leaky(
+            _shift_conv_packed(
+                h,
+                p[name]["conv"]["kernel"],
+                p[name]["conv"]["bias"],
+                groups,
+                cdtype=cdtype,
+            )
+        )
+
+    h = conv(xpack, "enc1_conv0")
+    h = conv(h, "enc1_conv1")
+    h = _pool_shifted(h)
+    skips = [h]
+    for i in range(2, levels + 1):
+        h = conv(h, f"enc{i}_conv0")
+        h = _pool_shifted(h)
+        skips.append(h)
+    h = conv(h, "enc_bottom_conv0")
+
+    def up2(t):
+        return jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
+
+    h = up2(h)
+    for stage, skip in enumerate(reversed(skips[:-1])):
+        h = _cat_lanes(h, skip, groups)
+        h = conv(h, f"dec{stage}_conv0")
+        h = conv(h, f"dec{stage}_conv1")
+        if stage < levels - 2:
+            h = up2(h)
+
+    h = up2(h)
+    h = _cat_lanes(h, xpack.astype(h.dtype), groups)
+    h = conv(h, "dec_final_conv0")
+    h = conv(h, "dec_final_conv1")
+    return jnp.pad(h, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :-1]
+
+
+def _dense_backbone(
+    p: Dict,
+    x4: jnp.ndarray,
+    levels: int,
+    cdtype,
+    enc1_band: int,
+    use_enc1_kernel: bool,
+) -> jnp.ndarray:
+    """Everything between the rotation fold and the un-rotation: enc1 ..
+    dec_final + final shift-down, on a stack of same-shape rotated lanes.
+    Shared by the square (4B) and rectangular (2x 2B) folds — the convs
+    are batch-independent, so weights are shared by construction."""
     if use_enc1_kernel:
         h = fused_enc1(
             x4,
@@ -440,7 +515,105 @@ def dense_blindspot_unet(
         )
     )
     hs = jnp.pad(h, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :-1]
-    cat = rot4_unstack(hs)
+    return hs
+
+
+def dense_blindspot_unet(
+    params: Dict,
+    x: jnp.ndarray,
+    out_channels: int,
+    levels: int = 5,
+    cdtype=jnp.bfloat16,
+    enc1_band: int = 8,
+    head_band: int = 2,
+    use_enc1_kernel: bool = False,
+    use_head_kernel: bool = False,
+    force_rect: bool = False,
+    fold: str = "batch",
+) -> jnp.ndarray:
+    """Optimised equivalent of ``BlindspotUNet.apply`` (blindspot mode) for
+    dense whole-image inference.  ``params`` is the module's param subtree;
+    returns float32 (B, H, W, out_channels).  ``force_rect`` routes a
+    square input through the two-lane fold (test hook: the folds must
+    agree exactly).
+
+    Square inputs use the reference's single rot4 batch fold (B -> 4B).
+    RECTANGULAR inputs (H != W, each a multiple of 2^levels) use a
+    two-lane fold: rot0/180 run as one (2B, H, W) batch and rot90/270 as a
+    (2B, W, H) batch through the same backbone (weights shared by
+    construction), un-rotated and channel-concatenated in the identical
+    (0, 90, 180, 270) order.  This removes the square-padding tax the
+    rot4 fold otherwise forces on rectangular micrographs: a 1024x1536
+    image computes 2x(1024x1536) conv lanes instead of 2x(1536^2)
+    (~1.5x fewer FLOPs; the reference itself would crash —
+    image_wrapper.py:221-249 pads rectangles without squaring but its
+    torch.cat of 90-degree rotations needs square maps).
+    """
+    from spr_pick_tpu.models.blindspot import rot4_stack, rot4_unstack, rotate
+
+    p = params
+    head_out = p["out_conv"]["conv"]["kernel"].shape[-1]
+    assert head_out == out_channels, (
+        f"out_channels={out_channels} but checkpoint head emits {head_out}"
+    )
+
+    square = x.shape[1] == x.shape[2] and not force_rect
+    if fold == "channel" and x.shape[-1] == 1 and not use_enc1_kernel:
+        # Rotation lanes packed into the CHANNEL dim (grouped convs with
+        # weights tiled across lanes): identical math to the batch fold,
+        # and 4x48=192 channels would amortise the 128-lane VMEM padding a
+        # 48-channel lane pays 2.7x for.  MEASURED 2.4x SLOWER than the
+        # batch fold on this backend (tools/bench_fold.py: 179 vs 73
+        # ms/img at 1024^2 — XLA lowers feature_group_count convs poorly
+        # here), so it stays an exactness-verified opt-in like the Pallas
+        # kernels; re-evaluate on other toolchains.  Requires 1 input
+        # channel (the production joint model).
+        if square:
+            xpack = jnp.concatenate(
+                [rotate(x, r) for r in (0, 90, 180, 270)], axis=-1
+            )
+            chunks = jnp.split(
+                _dense_backbone_packed(p, xpack, 4, levels, cdtype), 4, axis=-1
+            )
+            cat = jnp.concatenate(
+                [rotate(c, r) for c, r in zip(chunks, (0, 270, 180, 90))],
+                axis=-1,
+            )
+        else:
+            pack_hw = jnp.concatenate([x, rotate(x, 180)], axis=-1)
+            pack_wh = jnp.concatenate(
+                [rotate(x, 90), rotate(x, 270)], axis=-1
+            )
+            c0, c180 = jnp.split(
+                _dense_backbone_packed(p, pack_hw, 2, levels, cdtype), 2, axis=-1
+            )
+            c90, c270 = jnp.split(
+                _dense_backbone_packed(p, pack_wh, 2, levels, cdtype), 2, axis=-1
+            )
+            cat = jnp.concatenate(
+                [c0, rotate(c90, 270), rotate(c180, 180), rotate(c270, 90)],
+                axis=-1,
+            )
+    else:
+        bk = partial(
+            _dense_backbone,
+            p,
+            levels=levels,
+            cdtype=cdtype,
+            enc1_band=enc1_band,
+            use_enc1_kernel=use_enc1_kernel,
+        )
+        if square:
+            cat = rot4_unstack(bk(rot4_stack(x)))
+        else:
+            lane_hw = jnp.concatenate([x, rotate(x, 180)], axis=0)
+            lane_wh = jnp.concatenate([rotate(x, 90), rotate(x, 270)], axis=0)
+            c0, c180 = jnp.split(bk(lane_hw), 2, axis=0)
+            c90, c270 = jnp.split(bk(lane_wh), 2, axis=0)
+            cat = jnp.concatenate(
+                [c0, rotate(c90, 270), rotate(c180, 180), rotate(c270, 90)],
+                axis=-1,
+            )
     if not use_head_kernel:
         def conv1x1(t_, w, b):
             return jax.lax.dot_general(

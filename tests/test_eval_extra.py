@@ -154,9 +154,9 @@ def test_batched_group_nms_wiring(tmp_path, rng):
 
 @pytest.mark.slow
 def test_non_square_micrograph_eval(tmp_path, rng):
-    """Non-square micrographs: the rot4 fold needs H == W, so the eval
-    path pads to square and crops back (the reference's torch.cat of
-    rotations would crash here)."""
+    """Non-square micrographs run the RECT dense route (two-lane rotation
+    fold, no square-padding tax — the reference's torch.cat of rotations
+    would crash here); artifacts and scores come back unpadded."""
     from spr_pick_tpu.data import mrc
     from spr_pick_tpu.train import DenoiserTrainer
 
@@ -188,6 +188,11 @@ def test_non_square_micrograph_eval(tmp_path, rng):
     trainer.set_test_data(str(tmp_path / "imgs.txt"))
     trainer.set_test_label(str(tmp_path / "coords.txt"))
     trainer.train()
+
+    # The rect route (no square padding) must be active for this model.
+    assert trainer.denoiser.supports_rect_dense
+    item = trainer.testset.test_item(0, pad_multiple=32, square=False)
+    assert item["inp"].shape[1] != item["inp"].shape[2]  # stays rectangular
 
     val_dir = os.path.join(trainer.run_dir_path, "val_imgs_joint")
     score_files = [f for f in os.listdir(val_dir) if f.endswith("_scores.txt")]

@@ -134,3 +134,91 @@ def test_dense_unet_bf16_close():
     assert np.max(np.abs(got - want)) < 0.15
     corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
     assert corr > 0.999
+
+
+def test_rect_fold_exact_vs_rot4_on_square():
+    """The two-lane rectangular fold must agree with the rot4 fold exactly
+    (same convs, different batching) — proven on a square input where both
+    paths are defined."""
+    from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
+
+    _, params, x = _setup(s=96, seed=2)
+    with jax.default_matmul_precision("highest"):
+        rot4 = np.asarray(
+            dense_blindspot_unet(params, x, out_channels=2, cdtype=jnp.float32)
+        )
+        rect = np.asarray(
+            dense_blindspot_unet(
+                params, x, out_channels=2, cdtype=jnp.float32, force_rect=True
+            )
+        )
+    np.testing.assert_allclose(rect, rot4, rtol=1e-5, atol=1e-5)
+
+
+def test_rect_dense_rotation_equivariance_exact():
+    """Exact oracle for the rectangular two-lane fold, on BOTH orientations.
+
+    The concatenated rotation features satisfy
+    ``cat(rot90(x))[k] = rot90(cat(x)[k+1 group])`` — so running the model
+    on the 90-degree-rotated rectangle with the head's input-channel
+    groups rolled by one must reproduce the rotated output EXACTLY:
+    ``dense(p', rot90 x) == rot90(dense(p, x))`` where p' rolls the first
+    1x1 head conv's input channels by -96.  Any mis-rotation, lane swap or
+    shape bug in the rect path breaks this bit-exactly.
+
+    (No comparison against the square-zero-padded forward: square padding
+    genuinely CHANGES the function near edges — the pad band carries
+    bias-propagated activations whose distance to the canvas edge differs —
+    so that's a semantic difference, not an error; pick-level agreement on
+    trained models is covered by the evaluator tests.)
+    """
+    import copy
+
+    from spr_pick_tpu.models.blindspot import rotate
+    from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
+
+    _, params, _ = _setup(s=64, seed=3)
+    rng = np.random.RandomState(3)
+    h, w = 96, 160
+    x = jnp.asarray(rng.randn(1, h, w, 1).astype(np.float32))
+
+    p_rolled = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
+    k = p_rolled["out_block_conv0"]["conv"]["kernel"]  # (1, 1, 384, 384)
+    p_rolled["out_block_conv0"]["conv"]["kernel"] = np.roll(k, -96, axis=2)
+
+    with jax.default_matmul_precision("highest"):
+        out = np.asarray(
+            dense_blindspot_unet(params, x, out_channels=2, cdtype=jnp.float32)
+        )
+        out90 = np.asarray(
+            dense_blindspot_unet(
+                p_rolled, rotate(x, 90), out_channels=2, cdtype=jnp.float32
+            )
+        )
+    assert out.shape == (1, h, w, 2) and out90.shape == (1, w, h, 2)
+    want = np.asarray(rotate(jnp.asarray(out), 90))
+    np.testing.assert_allclose(out90, want, rtol=1e-5, atol=1e-5)
+
+
+def test_channel_packed_fold_exact_vs_batch_fold():
+    """The channel-packed rotation fold (grouped convs, lane-major packing)
+    must reproduce the batch fold exactly — square (4 lanes) and
+    rectangular (2x2 lanes)."""
+    from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
+
+    _, params, x = _setup(s=96, seed=4)
+    rng = np.random.RandomState(4)
+    xr = jnp.asarray(rng.randn(1, 96, 160, 1).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        for inp in (x, xr):
+            batchf = np.asarray(
+                dense_blindspot_unet(
+                    params, inp, out_channels=2, cdtype=jnp.float32, fold="batch"
+                )
+            )
+            chanf = np.asarray(
+                dense_blindspot_unet(
+                    params, inp, out_channels=2, cdtype=jnp.float32, fold="channel"
+                )
+            )
+            np.testing.assert_allclose(chanf, batchf, rtol=1e-5, atol=1e-5)

@@ -133,8 +133,11 @@ def test_scan_gather_sharding_mechanism(cpu_mesh_devices, rng):
 @pytest.mark.slow
 @pytest.mark.skipif(
     not __import__("os").environ.get("SPR_EXHAUSTIVE"),
-    reason="joint-scan CPU compile takes hours on 1-core hosts; "
-    "set SPR_EXHAUSTIVE=1 to run",
+    reason="joint-scan XLA CPU compile takes ~1 h on 1-core hosts; "
+    "set SPR_EXHAUSTIVE=1 to run.  Last green run: round 3 "
+    "(SPR_EXHAUSTIVE=1 python -m pytest "
+    "tests/test_parallel.py::test_scan_chunk_sharded_matches_single -x -q "
+    "-> 1 passed in 3272s; see ROUND_NOTES.md)",
 )
 def test_scan_chunk_sharded_matches_single(cpu_mesh_devices, rng):
     """The scan-chunked fast path under the mesh with the REAL joint model:
