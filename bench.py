@@ -137,11 +137,11 @@ def bench_denoise_train(algorithm, noise_value, batch, n_iter=20, n_warm=3):
     lr = jnp.float32(1e-4)
     for _ in range(n_warm):
         state, metrics = step(state, pipe.batch(batch), key, lr)
-    _ = float(np.asarray(metrics["loss"]))
+    _ = float(np.mean(np.asarray(metrics["loss"])))
     t0 = time.time()
     for _ in range(n_iter):
         state, metrics = step(state, pipe.batch(batch), key, lr)
-    _ = float(np.asarray(metrics["loss"]))
+    _ = float(np.mean(np.asarray(metrics["loss"])))
     return n_iter / (time.time() - t0)
 
 

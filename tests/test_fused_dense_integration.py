@@ -77,7 +77,10 @@ def test_fused_detect_exact_with_zeroed_head(rng):
 
 def test_fused_precondition_gating():
     den = _denoiser()
-    assert not den._can_fuse_dense(jnp.zeros((1, 64, 96, 1)))   # non-square
+    # Rect inputs fuse too now (two-lane rotation fold); only the 32-px
+    # pad grid and the fused_dense switch gate the route.
+    assert den._can_fuse_dense(jnp.zeros((1, 64, 96, 1)))       # non-square OK
     assert not den._can_fuse_dense(jnp.zeros((1, 48, 48, 1)))   # not %32
+    assert not den._can_fuse_dense(jnp.zeros((1, 64, 80, 1)))   # W not %32
     den.fused_dense = False
     assert not den._can_fuse_dense(jnp.zeros((1, 64, 64, 1)))
