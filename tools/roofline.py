@@ -16,8 +16,11 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -38,37 +41,70 @@ TRAIN_BATCH = 4
 
 
 def _time(fn, *args, reps=5, warm=2):
+    """Time `fn`.  The FIRST output leaf must be tiny (a scalar/few floats):
+    pulling it to host is the only reliable completion fence on this
+    transport, and bulk outputs would ride the ~25 MB/s tunnel and corrupt
+    the measurement (this exact bug produced a 0.008 TFLOP/s "peak" once)."""
+    def fence(out):
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     for _ in range(warm):
-        jax.block_until_ready(fn(*args))
+        fence(fn(*args))
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    # tiny host pull is the reliable fence on this transport
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-    jax.block_until_ready(out)
+    fence(out)
     return (time.time() - t0) / reps
 
 
+# Spec-sheet peaks per chip, for an absolute MFU datum next to the
+# slice-relative one (the attached slice is throttled and drifts 1.5-2x).
+_SPEC = {  # substring of device_kind -> (bf16 TFLOP/s, HBM GB/s)
+    "v6": (918.0, 1640.0),
+    "v5p": (459.0, 2765.0),
+    "v5": (197.0, 819.0),     # v5e / v5 lite
+    "v4": (275.0, 1228.0),
+}
+
+
+def spec_peaks():
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peaks in _SPEC.items():
+        if sub in kind:
+            return kind, peaks
+    return kind, (None, None)
+
+
 def measured_peaks():
-    """Peak bf16 matmul TFLOP/s and HBM copy GB/s on this chip."""
-    n = 4096
+    """Peak bf16 matmul TFLOP/s and HBM r/w GB/s on this chip.
+
+    Both kernels return only scalars (see _time).  The matmul is a chained
+    scan so XLA can neither dead-code-eliminate nor narrow it; the
+    bandwidth kernel returns the scaled array as a SECOND output (stays on
+    device) so the 1 GiB write is materialised but never fetched.
+    """
+    n = 2048
+    steps = 16
     a = jnp.ones((n, n), jnp.bfloat16)
-    b = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.full((n, n), 1.0 / n, jnp.bfloat16)  # keeps the chain ~1.0
 
     @jax.jit
     def mm(a, b):
-        return a @ b
+        def body(c, _):
+            return c @ b, None
+        c, _ = jax.lax.scan(body, a, None, length=steps)
+        return jnp.sum(c.astype(jnp.float32))
 
     dt = _time(mm, a, b)
-    tflops = 2 * n ** 3 / dt / 1e12
+    tflops = steps * 2 * n ** 3 / dt / 1e12
 
     big = jnp.ones((256, 1024, 1024), jnp.float32)  # 1 GiB
 
     @jax.jit
-    def copy(x):
-        return x * 1.000001
+    def rw(x):
+        y = x * 1.000001
+        return jnp.sum(y[0, 0, :8]), y  # scalar fence first; y stays on device
 
-    dt = _time(copy, big)
+    dt = _time(rw, big)
     gbs = 2 * big.size * 4 / dt / 1e9  # read + write
     return tflops, gbs
 
@@ -101,10 +137,12 @@ def main():
     den = Denoiser(c, mode="joint")
     state = init_state(den, seed=0, patch=64)
 
+    kind, (spec_tflops, spec_gbs) = spec_peaks()
     peak_tflops, peak_gbs = measured_peaks()
-    print(f"measured peaks: {peak_tflops:.2f} bf16 TFLOP/s, {peak_gbs:.1f} GB/s\n")
+    print(f"measured peaks (pre): {peak_tflops:.2f} bf16 TFLOP/s, {peak_gbs:.1f} GB/s")
 
-    results = {"peak_tflops": peak_tflops, "peak_gbs": peak_gbs, "programs": []}
+    results = {"device_kind": kind, "spec_tflops": spec_tflops,
+               "spec_gbs": spec_gbs, "programs": []}
 
     # Dense inference (forward only; the NMS is latency- not FLOP-bound).
     @jax.jit
@@ -166,14 +204,29 @@ def main():
         "achieved_gbs": bytes_ / dt / 1e9,
     })
 
-    print("| program | time | GFLOP | TFLOP/s (MFU) | HBM GB | GB/s (of peak) |")
+    # Re-measure peaks after the programs and take the max: the tunnel's
+    # throttle drifts within a session, and a peak sampled in a slow window
+    # would inflate every MFU number above it.
+    t2, g2 = measured_peaks()
+    print(f"measured peaks (post): {t2:.2f} bf16 TFLOP/s, {g2:.1f} GB/s")
+    peak_tflops, peak_gbs = max(peak_tflops, t2), max(peak_gbs, g2)
+    results["peak_tflops"], results["peak_gbs"] = peak_tflops, peak_gbs
+    print(f"device: {kind}; slice peaks used: {peak_tflops:.2f} TFLOP/s, "
+          f"{peak_gbs:.1f} GB/s; spec: {spec_tflops} TFLOP/s, {spec_gbs} GB/s\n")
+
+    print("| program | time | GFLOP | TFLOP/s (slice MFU / spec MFU) "
+          "| HBM GB | GB/s (slice / spec) |")
     print("|---|---|---|---|---|---|")
     for p in results["programs"]:
+        sm = f"{100*p['achieved_tflops']/spec_tflops:.1f}%" if spec_tflops else "?"
+        sg = f"{100*p['achieved_gbs']/spec_gbs:.1f}%" if spec_gbs else "?"
         print(
             f"| {p['label']} | {p['seconds']*1e3:.1f} ms | {p['gflops']:.1f} "
-            f"| {p['achieved_tflops']:.2f} ({100*p['achieved_tflops']/peak_tflops:.0f}%) "
+            f"| {p['achieved_tflops']:.2f} "
+            f"({100*p['achieved_tflops']/peak_tflops:.0f}% / {sm}) "
             f"| {p['hbm_gb']:.2f} "
-            f"| {p['achieved_gbs']:.1f} ({100*p['achieved_gbs']/peak_gbs:.0f}%) |"
+            f"| {p['achieved_gbs']:.1f} "
+            f"({100*p['achieved_gbs']/peak_gbs:.0f}% / {sg}) |"
         )
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
