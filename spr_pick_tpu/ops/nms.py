@@ -461,6 +461,39 @@ def _batched_nms_fn(radius: int, threshold: float, max_peaks: int):
     )
 
 
+def nms_batch_device(
+    heatmaps, radius: int, threshold: float = 0.02, max_peaks: int = 2048,
+    suppressed=None,
+):
+    """Dispatch batched greedy NMS; return DEVICE (scores, coords, counts).
+
+    Asynchronous: the caller can keep the results on device (e.g. the
+    evaluator's software pipeline dispatches NMS for group i, then lets the
+    host export group i-1's artifacts while the device works) and trim them
+    later with :func:`nms_batch_trim`.  Accepts a device-resident heatmap
+    batch directly — pass ``outputs[DETECT]`` sliced with jnp, NOT
+    ``np.asarray(...)`` of it, to avoid a device->host->device round trip
+    of the full maps over the host link.
+    """
+    heatmaps = jnp.asarray(heatmaps)
+    if suppressed is not None:
+        heatmaps = jnp.where(
+            jnp.asarray(suppressed, bool), -jnp.inf, heatmaps
+        )
+    return _batched_nms_fn(radius, float(threshold), max_peaks)(heatmaps)
+
+
+def nms_batch_trim(scores, coords, counts):
+    """Pull batched-NMS device results and trim to per-map pick lists."""
+    counts = np.asarray(counts)
+    scores = np.asarray(scores)
+    coords = np.asarray(coords)
+    return [
+        (scores[i, : counts[i]], coords[i, : counts[i]])
+        for i in range(scores.shape[0])
+    ]
+
+
 def nms_batch_to_host(
     heatmaps, radius: int, threshold: float = 0.02, max_peaks: int = 2048,
     suppressed=None,
@@ -480,21 +513,9 @@ def nms_batch_to_host(
     pixels can never be picked but do not block later picks near them —
     exactly the reference's seeded-set semantics.
     """
-    heatmaps = jnp.asarray(heatmaps)
-    if suppressed is not None:
-        heatmaps = jnp.where(
-            jnp.asarray(suppressed, bool), -jnp.inf, heatmaps
-        )
-    scores, coords, counts = _batched_nms_fn(radius, float(threshold), max_peaks)(
-        heatmaps
+    return nms_batch_trim(
+        *nms_batch_device(heatmaps, radius, threshold, max_peaks, suppressed)
     )
-    counts = np.asarray(counts)
-    scores = np.asarray(scores)
-    coords = np.asarray(coords)
-    return [
-        (scores[i, : counts[i]], coords[i, : counts[i]])
-        for i in range(heatmaps.shape[0])
-    ]
 
 
 def nms_to_host(

@@ -583,6 +583,67 @@ class DenoiserTrainer:
 
             indices = host_shard(indices)
             host_sharded = True
+
+        use_contam = bool(self.cfg.get(ConfigValue.EXCLUDE_CONTAM, False))
+        nms_radius = int(self.cfg[ConfigValue.NMS])
+        max_peaks = int(self.cfg.get(ConfigValue.MAX_PEAKS, 2048))
+
+        def process_group(idx0, group, outputs, batched, picks_dev):
+            """Host-side half of one group: trim/run NMS, PSNR, callbacks.
+
+            Runs one group BEHIND the device dispatch (software pipeline):
+            while the host pulls arrays and PNG-encodes here, the device is
+            already computing the next group's dense program.
+            """
+            group_picks = None
+            if picks_dev is not None:
+                from spr_pick_tpu.ops.nms import nms_batch_trim
+
+                group_picks = nms_batch_trim(*picks_dev)
+            elif batched:
+                # Contamination seeding needs the denoised images on host
+                # (find_contamination is a numpy routine), so this NMS
+                # cannot be dispatched ahead; it still amortises across
+                # the group via one vmapped program.
+                from spr_pick_tpu.ops.nms import nms_batch_to_host
+
+                shape = group[0]["image_shape"]
+                hms = np.asarray(outputs[PipelineOutput.DETECT])[
+                    :, : shape[0], : shape[1], 0
+                ]
+                suppressed = None
+                if use_contam and PipelineOutput.IMG_DENOISED in outputs:
+                    from spr_pick_tpu.ops.algorithms import find_contamination
+
+                    den = np.asarray(outputs[PipelineOutput.IMG_DENOISED])[
+                        :, : shape[0], : shape[1], 0
+                    ]
+                    suppressed = np.stack(
+                        [find_contamination(den[j]) for j in range(len(group))]
+                    ).astype(bool)
+                group_picks = nms_batch_to_host(
+                    hms, nms_radius, threshold=0.02, max_peaks=max_peaks,
+                    suppressed=suppressed,
+                )
+            for j, item in enumerate(group):
+                per = {
+                    k: v[j : j + 1]
+                    for k, v in outputs.items()
+                    if getattr(v, "ndim", 0) == 4
+                }
+                if group_picks is not None:
+                    per["_picks"] = group_picks[j]
+                eval_history["n"] += 1
+                if item["gt"] is not None:
+                    shape = item["image_shape"]
+                    for key, name in self.img_outputs(prefix="psnr").items():
+                        img = unpad(np.asarray(per[key])[0, :, :, 0], shape)
+                        gt = np.asarray(item["gt"])[: shape[0], : shape[1]]
+                        eval_history[name] += calculate_psnr(img[None], gt[None])
+                if output_callback:
+                    output_callback(idx0 + j, per, item)
+
+        pending = None
         idx = 0
         while idx < len(indices):
             # Giant micrographs route through halo tiling (the whole-image
@@ -596,6 +657,9 @@ class DenoiserTrainer:
                 indices[idx], pad_multiple=32, square=square
             )
             if max(first["inp"].shape[1:3]) > self.tile_eval_threshold:
+                if pending is not None:
+                    process_group(*pending)
+                    pending = None
                 eval_history["n"] += 1
                 per = self._evaluate_tiled(first)
                 if first["gt"] is not None:
@@ -635,9 +699,11 @@ class DenoiserTrainer:
             # Batched NMS: when a whole group shares its unpadded shape
             # (the common same-size-micrograph case), all heatmaps go
             # through ONE vmapped multipeak program — the wave fixed
-            # costs amortise across the batch (docs/PERF.md).
-            group_picks = None
-            if (
+            # costs amortise across the batch (docs/PERF.md).  Without
+            # contamination seeding it consumes the DEVICE-resident
+            # heatmaps (no host round trip) and is dispatched ahead,
+            # behind the dense program in the device queue.
+            batched = (
                 len(group) > 1
                 and picks_for_all
                 and PipelineOutput.DETECT in outputs
@@ -645,51 +711,38 @@ class DenoiserTrainer:
                     it["image_shape"] == group[0]["image_shape"]
                     for it in group
                 )
-            ):
-                from spr_pick_tpu.ops.nms import nms_batch_to_host
+            )
+            picks_dev = None
+            if batched and not use_contam:
+                from spr_pick_tpu.ops.nms import nms_batch_device
 
                 shape = group[0]["image_shape"]
-                hms = np.asarray(outputs[PipelineOutput.DETECT])[
-                    :, : shape[0], : shape[1], 0
-                ]
-                suppressed = None
-                if (
-                    self.cfg.get(ConfigValue.EXCLUDE_CONTAM, False)
-                    and PipelineOutput.IMG_DENOISED in outputs
-                ):
-                    from spr_pick_tpu.ops.algorithms import find_contamination
-
-                    den = np.asarray(outputs[PipelineOutput.IMG_DENOISED])[
+                picks_dev = nms_batch_device(
+                    outputs[PipelineOutput.DETECT][
                         :, : shape[0], : shape[1], 0
-                    ]
-                    suppressed = np.stack(
-                        [find_contamination(den[j]) for j in range(len(group))]
-                    ).astype(bool)
-                group_picks = nms_batch_to_host(
-                    hms,
-                    int(self.cfg[ConfigValue.NMS]),
-                    threshold=0.02,
-                    max_peaks=int(self.cfg.get(ConfigValue.MAX_PEAKS, 2048)),
-                    suppressed=suppressed,
+                    ],
+                    nms_radius, threshold=0.02, max_peaks=max_peaks,
                 )
-            for j, item in enumerate(group):
-                per = {
-                    k: v[j : j + 1]
-                    for k, v in outputs.items()
-                    if getattr(v, "ndim", 0) == 4
-                }
-                if group_picks is not None:
-                    per["_picks"] = group_picks[j]
-                eval_history["n"] += 1
-                if item["gt"] is not None:
-                    shape = item["image_shape"]
-                    for key, name in self.img_outputs(prefix="psnr").items():
-                        img = unpad(np.asarray(per[key])[0, :, :, 0], shape)
-                        gt = np.asarray(item["gt"])[: shape[0], : shape[1]]
-                        eval_history[name] += calculate_psnr(img[None], gt[None])
-                if output_callback:
-                    output_callback(idx + j, per, item)
+
+            # SPR_EVAL_PIPELINE=1 defers each group's host export by one
+            # group so it overlaps the next group's device compute.  On
+            # hosts whose device link runs transfers concurrently with
+            # compute that hides the export cost; on THIS serialized
+            # tunnel an interleaved A/B measured it slightly SLOWER
+            # (pulls contend with the in-flight program), so serial order
+            # is the default.  The device-side NMS dispatch above is what
+            # matters either way: it removed a full heatmap re-upload
+            # per group (2.9 -> ~5 micrographs/s e2e).
+            if pending is not None:
+                process_group(*pending)
+            pending = (idx, group, outputs, batched, picks_dev)
+            if os.environ.get("SPR_EVAL_PIPELINE") != "1":
+                process_group(*pending)
+                pending = None
             idx += len(group)
+
+        if pending is not None:
+            process_group(*pending)
 
         if host_sharded:
             # Each host evaluated only its shard; sum the n/PSNR

@@ -204,6 +204,78 @@ def test_non_square_micrograph_eval(tmp_path, rng):
         assert 30 < int(x) < 224 - 30 and 30 < int(y) < 288 - 30
 
 
+def test_eval_pipeline_mode_matches_sync(tmp_path, rng, monkeypatch):
+    """SPR_EVAL_PIPELINE=1 (host export deferred one group behind the
+    device dispatch) must produce byte-identical artifacts and metrics to
+    the default serial order.  `_eval_step` is faked with deterministic
+    outputs so this exercises the grouping / batched-device-NMS / pipeline
+    wiring in `_evaluate`, not the model."""
+    from spr_pick_tpu.data import mrc
+    from spr_pick_tpu.params import HistoryValue, PipelineOutput, StateValue
+    from spr_pick_tpu.train import DenoiserTrainer
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    # Two shape groups (96x96 x3, 96x128 x2) with batch 2: exercises a
+    # full batched group, a singleton tail, and a shape-change break.
+    shapes = [(96, 96), (96, 96), (96, 96), (96, 128), (96, 128)]
+    rows = []
+    for i, (h, w) in enumerate(shapes):
+        img = rng.rand(h, w).astype(np.float32)
+        mrc.write(str(img_dir / f"m{i}.mrc"), img)
+        rows.append(f"m{i}\t{img_dir / f'm{i}.mrc'}")
+    images_txt = tmp_path / "imgs.txt"
+    images_txt.write_text("image_name\tpath\n" + "\n".join(rows) + "\n")
+
+    c = cfg_mod.base()
+    c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    c[ConfigValue.NOISE_STYLE] = "gauss"
+    c[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
+    c[ConfigValue.TEST_MINIBATCH_SIZE] = 2
+    c[ConfigValue.NUM_EVAL] = len(shapes)
+    trainer = DenoiserTrainer(
+        c, mode="joint", alpha=0.75, tau=0.05, runs_dir=str(tmp_path / "runs")
+    )
+    trainer.new_target()
+    trainer.set_test_data(str(images_txt))
+    trainer.testset, trainer.test_sampler = trainer.test_data()
+
+    def fake_eval_step(state, batch, rng_key):
+        inp = jnp.asarray(batch["inp"])
+        return {
+            PipelineOutput.DETECT: inp,
+            PipelineOutput.IMG_DENOISED: inp * 0.5,
+        }
+
+    trainer._eval_step = fake_eval_step
+
+    def run(mode_dir, pipelined):
+        monkeypatch.setenv("SPR_EVAL_PIPELINE", "1" if pipelined else "0")
+        trainer.reset_metrics(train=False)
+
+        def callback(idx, outputs, item):
+            trainer.save_image_outputs(
+                outputs, item, str(mode_dir), "{name}_{desc}.png",
+                "{name}_{desc}.txt",
+            )
+
+        trainer._evaluate(output_callback=callback, picks_for_all=True)
+        return trainer.state[StateValue.HISTORY][HistoryValue.EVAL]["n"]
+
+    n_sync = run(tmp_path / "sync", False)
+    n_pipe = run(tmp_path / "pipe", True)
+    assert n_sync == n_pipe == len(shapes)
+
+    sync_files = sorted(os.listdir(tmp_path / "sync"))
+    pipe_files = sorted(os.listdir(tmp_path / "pipe"))
+    assert sync_files == pipe_files
+    assert any(f.endswith("_scores.txt") for f in sync_files)
+    for f in sync_files:
+        a = (tmp_path / "sync" / f).read_bytes()
+        b = (tmp_path / "pipe" / f).read_bytes()
+        assert a == b, f"artifact {f} differs between pipeline modes"
+
+
 def test_ssdn_three_channel_full_covariance(rng):
     """3-channel ssdn denoise-only path (full triangular-A covariance)."""
     c = cfg_mod.base()
