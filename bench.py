@@ -3,12 +3,11 @@
 
 Workloads (BASELINE.md "Configs to benchmark"):
 
-1. n2c supervised denoise train step, gaussian noise, 64px patches,
-   batch 2 — includes the host noise-synth batch prep (the production
-   path for folder/hdf5 data).
-2. n2v masked blind-spot train step, gauss, batch 4.
-3. ssdn_u_only blind-spot + sigma-net (noise_value=var) train step,
-   batch 4.
+1. n2c supervised denoise train, gaussian noise, 64px patches, batch 2 —
+   the trainer's production folder/hdf5 fast path (device-resident image
+   stack, fused K-step scan incl. crop gather + noise synth).
+2. n2v masked blind-spot train (incl. device UPS masking), gauss, batch 4.
+3. ssdn_u_only blind-spot + sigma-net (noise_value=var) train, batch 4.
 4. ssdn joint denoise+detect train (scan-chunked fast path, batch 4 of
    64^2 patches, both flip-TTA forwards, PU + NLL + consistency, Adam,
    BN, HBM patch gather) — the trainer's fast path.
@@ -96,7 +95,7 @@ def make_denoiser():
 
 
 # ---------------------------------------------------------------------------
-# Configs 1-3: denoise-only train steps (production path incl. host prep)
+# Configs 1-3: denoise-only training (production device-data-plane scan path)
 # ---------------------------------------------------------------------------
 
 
@@ -111,11 +110,14 @@ class _ArrayDataset:
         return self.imgs[i]
 
 
-def bench_denoise_train(algorithm, noise_value, batch, n_iter=20, n_warm=3):
-    """Train-step throughput for a denoise-only pipeline, including the
-    DenoisePatchPipeline host batch prep (crop + noise synth) — the real
-    per-iteration cost for folder/hdf5 training."""
-    from spr_pick_tpu.data.patches import DenoisePatchPipeline
+def bench_denoise_train(algorithm, noise_value, batch, n_reps=3):
+    """Train throughput for a denoise-only pipeline on the trainer's
+    production fast path: HBM-resident image stack + K-step fused scan
+    (crop gather, noise synth / n2v UPS masking, update — all one XLA
+    program; the host contributes three (K, B) int32 coordinate arrays
+    per chunk)."""
+    from spr_pick_tpu.data.patches import DeviceDenoisePipeline
+    from spr_pick_tpu.steps import make_denoise_scan
 
     c = cfg_mod.base()
     c[ConfigValue.ALGORITHM] = algorithm
@@ -125,24 +127,34 @@ def bench_denoise_train(algorithm, noise_value, batch, n_iter=20, n_warm=3):
     cfg_mod.infer(c, model_only=True)
     den = Denoiser(c, mode="denoise")
     state = init_state(den, seed=0, patch=TRAIN_CROP)
-    step = make_train_step(den, alpha=0.75, tau=0.01)
+    scan = make_denoise_scan(
+        den, alpha=0.75, tau=0.01, patch=TRAIN_CROP,
+        algorithm=algorithm, noise_style="gauss25",
+    )
 
     rng = np.random.RandomState(0)
     imgs = [rng.randn(512, 512).astype(np.float32) for _ in range(4)]
-    pipe = DenoisePatchPipeline(
+    pipe = DeviceDenoisePipeline(
         _ArrayDataset(imgs), patch=TRAIN_CROP, algorithm=algorithm,
         noise_style="gauss25", seed=0,
     )
-    key = jax.random.PRNGKey(0)
-    lr = jnp.float32(1e-4)
-    for _ in range(n_warm):
-        state, metrics = step(state, pipe.batch(batch), key, lr)
-    _ = float(np.mean(np.asarray(metrics["loss"])))
+    lrs = jnp.full((TRAIN_K,), 1e-4, jnp.float32)
+
+    def chunk(state, i):
+        flat, ys, xs = pipe.sample_coords((TRAIN_K, batch))
+        return scan(
+            state, pipe.images_dev,
+            jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs),
+            lrs, jax.random.PRNGKey(i),
+        )
+
+    state, metrics = chunk(state, 0)
+    _ = float(np.asarray(metrics["loss"])[-1])  # compile + sync
     t0 = time.time()
-    for _ in range(n_iter):
-        state, metrics = step(state, pipe.batch(batch), key, lr)
-    _ = float(np.mean(np.asarray(metrics["loss"])))
-    return n_iter / (time.time() - t0)
+    for i in range(n_reps):
+        state, metrics = chunk(state, i + 1)
+    _ = float(np.asarray(metrics["loss"])[-1])
+    return n_reps * TRAIN_K / (time.time() - t0)
 
 
 # ---------------------------------------------------------------------------
@@ -246,16 +258,16 @@ def main():
 
     # Configs 1-3
     n2c = bench_denoise_train(NoiseAlgorithm.NOISE_TO_CLEAN, None, batch=2)
-    emit("n2c train step (batch 2, incl. host prep), single chip",
+    emit("n2c train (batch 2, fused device data plane), single chip",
          n2c, "iters/sec", "train_n2c")
     n2v = bench_denoise_train(NoiseAlgorithm.NOISE_TO_VOID, None, batch=4)
-    emit("n2v train step (batch 4, incl. host prep), single chip",
+    emit("n2v train (batch 4, fused device UPS masking), single chip",
          n2v, "iters/sec", "train_n2v")
     u_only = bench_denoise_train(
         NoiseAlgorithm.SELFSUPERVISED_DENOISING_MEAN_ONLY,
         NoiseValue.UNKNOWN_VARIABLE, batch=4,
     )
-    emit("ssdn_u_only train step (batch 4, sigma-net, incl. host prep), single chip",
+    emit("ssdn_u_only train (batch 4, sigma-net, fused device data plane), single chip",
          u_only, "iters/sec", "train_u_only")
 
     # Config 4

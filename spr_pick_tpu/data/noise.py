@@ -80,3 +80,50 @@ def add_style(images: np.ndarray, style: str, rng: np.random.RandomState = None)
     elif noise_type == "poisson":
         return add_poisson(images, params, clip=clip, rng=rng)
     raise NotImplementedError("Noise type not supported")
+
+
+def add_style_jax(images, style: str, key):
+    """Device-side `add_style`: same DSL, same distributions, jax PRNG.
+
+    ``images``: (B, H, W) jnp array.  Returns (noisy, coeff) where coeff is
+    a (B, 1, 1) per-item parameter array (std dev for gauss, lam for
+    poisson).  Used by the HBM-resident denoise data plane
+    (DeviceDenoisePipeline) so n2n/n2v reference construction and input
+    noising run inside the jitted train program instead of per-step host
+    numpy.  Bit-parity with the numpy path is impossible (different PRNG);
+    the distributions are identical by construction.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    noise_type, params, clip = _parse_style(style)
+    b = images.shape[0]
+    pshape = (b,) + (1,) * (images.ndim - 1)
+    k_param, k_noise = jax.random.split(key)
+
+    def param_array(raw):
+        vals = [v / 255 if isinstance(v, int) and noise_type == "gauss" else v
+                for v in raw]
+        if len(vals) == 1:
+            return jnp.full(pshape, vals[0], jnp.float32)
+        lo, hi = vals
+        return jax.random.uniform(
+            k_param, pshape, jnp.float32, minval=lo, maxval=hi
+        )
+
+    if noise_type == "gauss":
+        std = param_array(params)
+        out = images + jax.random.normal(k_noise, images.shape, jnp.float32) * std
+        coeff = std
+    elif noise_type == "poisson":
+        lam = param_array(params)
+        # Reference semantics preserved (utils/noise.py:102-106): scale,
+        # ADD Poisson(1) noise, unscale — not Poisson(x*lam) sampling.
+        noise = jax.random.poisson(k_noise, 1.0, images.shape).astype(jnp.float32)
+        out = (images * lam + noise) / lam
+        coeff = lam
+    else:
+        raise NotImplementedError("Noise type not supported")
+    if clip:
+        out = jnp.clip(out, 0.0, 1.0)
+    return out, coeff

@@ -70,3 +70,58 @@ def prepare_batch(
             np.asarray(coeff, np.float32), (clean.shape[0], 1, 1, 1)
         )
     return batch
+
+
+def prepare_batch_jax(
+    crops,
+    algorithm: NoiseAlgorithm,
+    noise_style: Optional[str],
+    key,
+    training: bool = True,
+    noise_input: bool = False,
+):
+    """Device-side :func:`prepare_batch`: same algorithm matrix, jax PRNG.
+
+    ``crops``: (B, H, W) jnp array.  Traces inside jit (algorithm / style /
+    flags are static), so the whole input/reference construction — noise
+    synthesis and n2v UPS masking included — fuses into the train program
+    instead of running per step in host numpy.  Used by
+    DeviceDenoisePipeline and steps.make_denoise_scan.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from spr_pick_tpu.data.noise import add_style_jax
+
+    k_in, k_ref, k_ups = jax.random.split(key, 3)
+    clean = crops
+    coeff = None
+    if noise_input and noise_style:
+        noisy_in, coeff = add_style_jax(clean, noise_style, k_in)
+    else:
+        noisy_in = clean
+
+    batch = {}
+    mask = None
+    if algorithm == NoiseAlgorithm.NOISE_TO_VOID and training:
+        noisy_in, mask = n2v_mod.manipulate_jax(noisy_in, k_ups, 5)
+
+    if algorithm == NoiseAlgorithm.NOISE_TO_CLEAN:
+        ref = clean
+    elif algorithm in (NoiseAlgorithm.NOISE_TO_NOISE, NoiseAlgorithm.NOISE_TO_VOID):
+        ref, _ = add_style_jax(clean, noise_style, k_ref)
+    elif algorithm == NoiseAlgorithm.SELFSUPERVISED_DENOISING:
+        ref = None
+    elif algorithm == NoiseAlgorithm.SELFSUPERVISED_DENOISING_MEAN_ONLY:
+        ref = noisy_in
+    else:
+        raise NotImplementedError("Denoising algorithm not supported")
+
+    batch["inp"] = noisy_in[..., None]
+    if ref is not None:
+        batch["ref"] = ref[..., None]
+    if mask is not None:
+        batch["mask"] = mask[..., None]
+    if coeff is not None:
+        batch["noise_std"] = jnp.reshape(coeff, (clean.shape[0], 1, 1, 1))
+    return batch

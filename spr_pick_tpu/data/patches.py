@@ -9,11 +9,12 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from spr_pick_tpu.data.crop import random_crop
-from spr_pick_tpu.data.noisy import prepare_batch
+from spr_pick_tpu.data.noisy import prepare_batch, prepare_batch_jax
 from spr_pick_tpu.params import NoiseAlgorithm
 
 
@@ -66,6 +67,124 @@ class DenoisePatchPipeline:
 
     def load_state_dict(self, sd) -> None:
         self.rng.set_state(sd["rng_state"])
+
+
+class DeviceDenoisePipeline:
+    """HBM-resident denoise data plane: the folder/hdf5 analog of
+    DevicePatchPipeline.
+
+    All images are stacked into one (N, Hmax, Wmax) device array at
+    construction; per step, the host contributes only three int32 coordinate
+    arrays (image index + crop corner, drawn from a resumable numpy
+    RandomState with per-image valid ranges — same distribution as
+    `random_crop`).  The crop gather, noise synthesis and n2v UPS masking
+    (data/noisy.py:prepare_batch_jax) run inside one jitted program — or
+    fused into the K-step train scan (steps.make_denoise_scan) with no
+    per-step dispatch at all.  Replaces the reference's per-item host
+    pipeline (datasets/noise_wrapper.py:98-168 under a torch DataLoader).
+
+    Raises ValueError when the padded stack would exceed ``max_bytes``
+    (the trainer falls back to the host DenoisePatchPipeline).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        patch: int,
+        algorithm: NoiseAlgorithm,
+        noise_style: Optional[str],
+        seed: int = 0,
+        noise_input: bool = False,
+        max_bytes: int = 4 << 30,
+    ):
+        self.patch = patch
+        self.algorithm = algorithm
+        self.noise_style = noise_style
+        self.noise_input = noise_input
+
+        imgs = [np.asarray(dataset[i], np.float32) for i in range(len(dataset))]
+        if not imgs:
+            raise ValueError("empty dataset")
+        # Undersized images take the same reflect pad as random_crop.
+        for i, im in enumerate(imgs):
+            h, w = im.shape[:2]
+            if h < patch or w < patch:
+                imgs[i] = np.pad(
+                    im,
+                    ((0, max(0, patch - h)), (0, max(0, patch - w))),
+                    mode="reflect",
+                )
+        hmax = max(im.shape[0] for im in imgs)
+        wmax = max(im.shape[1] for im in imgs)
+        nbytes = len(imgs) * hmax * wmax * 4
+        if nbytes > max_bytes:
+            raise ValueError(
+                f"image stack ({nbytes / 2**30:.1f} GiB padded) exceeds the "
+                f"device data-plane budget ({max_bytes / 2**30:.1f} GiB)"
+            )
+        stack = np.zeros((len(imgs), hmax, wmax), np.float32)
+        for n, im in enumerate(imgs):
+            stack[n, : im.shape[0], : im.shape[1]] = im
+        self.heights = np.array([im.shape[0] for im in imgs], np.int32)
+        self.widths = np.array([im.shape[1] for im in imgs], np.int32)
+        self.images_dev = jax.device_put(stack)
+
+        self.rng = np.random.RandomState(seed)
+        self._base_key = jax.random.PRNGKey(seed ^ 0x5EED)
+        self._key_counter = 0
+
+        patch_sz = patch
+        algo, style, noise_in = algorithm, noise_style, noise_input
+
+        @jax.jit
+        def make_batch(images, flat, ys, xs, key):
+            def gather(n, y, x):
+                return jax.lax.dynamic_slice(
+                    images[n], (y, x), (patch_sz, patch_sz)
+                )
+
+            crops = jax.vmap(gather)(flat, ys, xs)
+            return prepare_batch_jax(
+                crops, algo, style, key, training=True, noise_input=noise_in
+            )
+
+        self._make_batch = make_batch
+
+    def sample_coords(self, shape):
+        """Draw image indices + in-bounds crop corners of the given shape
+        ((B,) or (K, B)) — the host's only per-step/per-chunk work."""
+        flat = self.rng.randint(len(self.heights), size=shape).astype(np.int32)
+        ry = self.rng.random_sample(shape)
+        rx = self.rng.random_sample(shape)
+        ys = (ry * (self.heights[flat] - self.patch + 1)).astype(np.int32)
+        xs = (rx * (self.widths[flat] - self.patch + 1)).astype(np.int32)
+        return flat, ys, xs
+
+    def _next_key(self):
+        key = jax.random.fold_in(self._base_key, self._key_counter)
+        self._key_counter += 1
+        return key
+
+    def batch(self, batch_size: int) -> Dict[str, jnp.ndarray]:
+        flat, ys, xs = self.sample_coords((batch_size,))
+        return self._make_batch(
+            self.images_dev,
+            jnp.asarray(flat),
+            jnp.asarray(ys),
+            jnp.asarray(xs),
+            self._next_key(),
+        )
+
+    def state_dict(self):
+        """Crop RNG + noise key position (resumable data plane)."""
+        return {
+            "rng_state": self.rng.get_state(),
+            "key_counter": self._key_counter,
+        }
+
+    def load_state_dict(self, sd) -> None:
+        self.rng.set_state(sd["rng_state"])
+        self._key_counter = int(sd.get("key_counter", 0))
 
 
 class UnlabeledEvalDataset:

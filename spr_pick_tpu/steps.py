@@ -47,56 +47,66 @@ def init_state(denoiser: Denoiser, seed: int = 0, patch: int = 64) -> TrainState
     )
 
 
+def _grad_update(denoiser, tx, state: TrainState, batch: Dict, key, lr,
+                 alpha: float, tau: float):
+    """One forward/backward/Adam/BN update; shared by the per-step and both
+    scan factories.  Returns (new_state, pipeline outputs)."""
+
+    def loss_fn(trainable):
+        loss, (outputs, bn_updates) = denoiser.run_pipeline(
+            trainable, state.static, batch, key, alpha, tau, train=True
+        )
+        return loss, (outputs, bn_updates)
+
+    (_, (outputs, bn_updates)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.trainable)
+
+    updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+    updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+    trainable = optax.apply_updates(state.trainable, updates)
+
+    static = state.static
+    if bn_updates is not None:
+        static = dict(static)
+        static["model"] = bn_updates
+
+    new_state = TrainState(
+        step=state.step + 1,
+        trainable=trainable,
+        static=static,
+        opt_state=opt_state,
+    )
+    return new_state, outputs
+
+
+def _collect_metrics(outputs: Dict, mean: bool = False) -> Dict:
+    """Host-facing metric dict from pipeline outputs.  ``mean=True`` reduces
+    per-item losses to scalars (scan paths stack them over K steps)."""
+    reduce = jnp.mean if mean else (lambda x: x)
+    metrics = {"loss": reduce(outputs[PipelineOutput.LOSS])}
+    for key in (
+        PipelineOutput.DENOISE_LOSS,
+        PipelineOutput.DETECT_LOSS,
+        PipelineOutput.AUG_LOSS,
+    ):
+        if key in outputs:
+            metrics[key.value] = reduce(outputs[key])
+    for key in (PipelineOutput.NOISE_STD_DEV, PipelineOutput.MODEL_STD_DEV):
+        if key in outputs:
+            metrics[key.value] = jnp.mean(outputs[key])
+    return metrics
+
+
 def make_train_step(denoiser: Denoiser, alpha: float, tau: float):
     """Build the jitted joint/denoise training step."""
     tx = make_optimizer()
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array, lr: jnp.ndarray):
-        def loss_fn(trainable):
-            loss, (outputs, bn_updates) = denoiser.run_pipeline(
-                trainable, state.static, batch, rng, alpha, tau, train=True
-            )
-            return loss, (outputs, bn_updates)
-
-        (loss, (outputs, bn_updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.trainable)
-
-        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        trainable = optax.apply_updates(state.trainable, updates)
-
-        static = state.static
-        if bn_updates is not None:
-            static = dict(static)
-            static["model"] = bn_updates
-
-        metrics = {
-            "loss": outputs[PipelineOutput.LOSS],
-        }
-        for key in (
-            PipelineOutput.DENOISE_LOSS,
-            PipelineOutput.DETECT_LOSS,
-            PipelineOutput.AUG_LOSS,
-        ):
-            if key in outputs:
-                metrics[key.value] = outputs[key]
-        if PipelineOutput.NOISE_STD_DEV in outputs:
-            metrics[PipelineOutput.NOISE_STD_DEV.value] = jnp.mean(
-                outputs[PipelineOutput.NOISE_STD_DEV]
-            )
-        if PipelineOutput.MODEL_STD_DEV in outputs:
-            metrics[PipelineOutput.MODEL_STD_DEV.value] = jnp.mean(
-                outputs[PipelineOutput.MODEL_STD_DEV]
-            )
-
-        new_state = TrainState(
-            step=state.step + 1,
-            trainable=trainable,
-            static=static,
-            opt_state=opt_state,
+        new_state, outputs = _grad_update(
+            denoiser, tx, state, batch, rng, lr, alpha, tau
         )
-        return new_state, metrics
+        return new_state, _collect_metrics(outputs)
 
     return jax.jit(train_step, donate_argnums=(0,))
 
@@ -132,51 +142,64 @@ def make_train_scan(denoiser: Denoiser, alpha: float, tau: float, crop: int):
             )
             patches, labels = jax.vmap(gather)(f, y, x, flips)
             batch = {"inp": patches[..., None], "target": labels}
-
-            def loss_fn(trainable):
-                loss, (outputs, bn_updates) = denoiser.run_pipeline(
-                    trainable, state.static, batch, k_step, alpha, tau,
-                    train=True,
-                )
-                return loss, (outputs, bn_updates)
-
-            (loss, (outputs, bn_updates)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.trainable)
-            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
-            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-            trainable = optax.apply_updates(state.trainable, updates)
-            static = state.static
-            if bn_updates is not None:
-                static = dict(static)
-                static["model"] = bn_updates
-            new_state = TrainState(
-                step=state.step + 1, trainable=trainable, static=static,
-                opt_state=opt_state,
+            new_state, outputs = _grad_update(
+                denoiser, tx, state, batch, k_step, lr, alpha, tau
             )
-            metrics = {"loss": jnp.mean(outputs[PipelineOutput.LOSS])}
-            for key_ in (
-                PipelineOutput.DENOISE_LOSS,
-                PipelineOutput.DETECT_LOSS,
-                PipelineOutput.AUG_LOSS,
-            ):
-                if key_ in outputs:
-                    metrics[key_.value] = jnp.mean(outputs[key_])
-            if PipelineOutput.NOISE_STD_DEV in outputs:
-                metrics[PipelineOutput.NOISE_STD_DEV.value] = jnp.mean(
-                    outputs[PipelineOutput.NOISE_STD_DEV]
-                )
-            if PipelineOutput.MODEL_STD_DEV in outputs:
-                metrics[PipelineOutput.MODEL_STD_DEV.value] = jnp.mean(
-                    outputs[PipelineOutput.MODEL_STD_DEV]
-                )
-            return new_state, metrics
+            return new_state, _collect_metrics(outputs, mean=True)
 
         k = flat.shape[0]
         keys = jax.random.split(rng, k)
         state, metrics = jax.lax.scan(
             body, state, (flat, ys, xs, lrs, keys)
         )
+        return state, metrics
+
+    return jax.jit(scan_steps, donate_argnums=(0,))
+
+
+def make_denoise_scan(
+    denoiser: Denoiser,
+    alpha: float,
+    tau: float,
+    patch: int,
+    algorithm,
+    noise_style,
+    noise_input: bool = False,
+):
+    """K denoise-only train steps + crop gather + input/reference
+    construction in ONE XLA program — the folder/hdf5 analog of
+    make_train_scan.
+
+    flat/ys/xs are (K, B) int32 image indices and crop CORNERS (not centres;
+    drawn in-bounds by DeviceDenoisePipeline.sample_coords).  Noise
+    synthesis and n2v UPS masking (data/noisy.py:prepare_batch_jax) run per
+    scan step from a per-step PRNG key, replacing the reference's host-side
+    NoisyDataset prep (datasets/noise_wrapper.py:98-168).
+    """
+    from spr_pick_tpu.data.noisy import prepare_batch_jax
+
+    tx = make_optimizer()
+
+    def scan_steps(state: TrainState, images, flat, ys, xs, lrs, rng):
+        def gather(n, y, x):
+            return jax.lax.dynamic_slice(images[n], (y, x), (patch, patch))
+
+        def body(state, inputs):
+            f, y, x, lr, key = inputs
+            k_prep, k_step = jax.random.split(key)
+            crops = jax.vmap(gather)(f, y, x)
+            batch = prepare_batch_jax(
+                crops, algorithm, noise_style, k_prep,
+                training=True, noise_input=noise_input,
+            )
+            new_state, outputs = _grad_update(
+                denoiser, tx, state, batch, k_step, lr, alpha, tau
+            )
+            return new_state, _collect_metrics(outputs, mean=True)
+
+        k = flat.shape[0]
+        keys = jax.random.split(rng, k)
+        state, metrics = jax.lax.scan(body, state, (flat, ys, xs, lrs, keys))
         return state, metrics
 
     return jax.jit(scan_steps, donate_argnums=(0,))

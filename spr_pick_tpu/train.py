@@ -87,6 +87,7 @@ class DenoiserTrainer:
         self.train_state: Optional[TrainState] = None
         self._train_step = None
         self._train_scan = None
+        self._denoise_scan = None
         self._eval_step = None
         self._writer: Optional[ScalarWriter] = None
         self._rng_key = None
@@ -129,6 +130,7 @@ class DenoiserTrainer:
         self._rng_key = jax.random.PRNGKey(seed + 1)
         self._train_step = None
         self._train_scan = None
+        self._denoise_scan = None
         self._eval_step = None
         self._setup_mesh()
         self.init_state()
@@ -238,13 +240,25 @@ class DenoiserTrainer:
             )
         else:
             raise NotImplementedError("Dataset type not implemented")
-        pipeline = DenoisePatchPipeline(
-            base,
+        kwargs = dict(
             patch=cfg[ConfigValue.TRAIN_PATCH_SIZE],
             algorithm=cfg[ConfigValue.ALGORITHM],
             noise_style=cfg[ConfigValue.NOISE_STYLE],
             seed=int(cfg.get(ConfigValue.SEED, 0)),
         )
+        pipeline = None
+        if os.environ.get("SPR_HOST_DENOISE_DATA", "0") != "1":
+            from spr_pick_tpu.data.patches import DeviceDenoisePipeline
+
+            try:
+                pipeline = DeviceDenoisePipeline(base, **kwargs)
+            except ValueError as exc:
+                logger.warning(
+                    "device denoise data plane unavailable (%s); "
+                    "falling back to host batch prep", exc,
+                )
+        if pipeline is None:
+            pipeline = DenoisePatchPipeline(base, **kwargs)
         return base, None, pipeline
 
     def test_data(self):
@@ -352,6 +366,19 @@ class DenoiserTrainer:
                 self.denoiser, self.alpha, self.tau,
                 crop=self.cfg[ConfigValue.TRAIN_PATCH_SIZE],
             )
+        from spr_pick_tpu.data.patches import DeviceDenoisePipeline
+
+        if self._denoise_scan is None and isinstance(
+            self.patch_pipeline, DeviceDenoisePipeline
+        ):
+            from spr_pick_tpu.steps import make_denoise_scan
+
+            self._denoise_scan = make_denoise_scan(
+                self.denoiser, self.alpha, self.tau,
+                patch=self.cfg[ConfigValue.TRAIN_PATCH_SIZE],
+                algorithm=self.cfg[ConfigValue.ALGORITHM],
+                noise_style=self.cfg[ConfigValue.NOISE_STYLE],
+            )
 
         history = self.state[StateValue.HISTORY]
         batch_size = self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE]
@@ -412,19 +439,7 @@ class DenoiserTrainer:
                     packed.reshape(k, batch_size)
                 )
                 self.patch_pipeline.check_in_bounds(flat, ys, xs)
-                lrs = jnp.asarray(
-                    [
-                        compute_ramped_lrate(
-                            iteration + i * batch_size,
-                            self.cfg[ConfigValue.ITERATIONS],
-                            self.cfg[ConfigValue.LR_RAMPDOWN_FRACTION],
-                            self.cfg[ConfigValue.LR_RAMPUP_FRACTION],
-                            1e-4,
-                        )
-                        for i in range(k)
-                    ],
-                    jnp.float32,
-                )
+                lrs = self._scan_lrs(iteration, k, batch_size)
                 flat, ys, xs = jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs)
                 rng = self._next_rng()
                 images_dev = self.patch_pipeline.images_dev
@@ -457,6 +472,40 @@ class DenoiserTrainer:
                     hms_dev,
                     flat, ys, xs,
                     lrs, rng,
+                )
+                pending_metrics.append((metrics, k))
+                self.state[StateValue.ITERATION] += k * batch_size
+                continue
+
+            if k_steps > 1 and self._can_scan_denoise():
+                # Denoise-only scan fast path: crop gather + noise synth /
+                # UPS masking + K updates in ONE program.
+                k = k_steps
+                flat, ys, xs = self.patch_pipeline.sample_coords(
+                    (k, batch_size)
+                )
+                lrs = self._scan_lrs(iteration, k, batch_size)
+                flat, ys, xs = jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs)
+                rng = self._next_rng()
+                images_dev = self.patch_pipeline.images_dev
+                if self.mesh is not None:
+                    from spr_pick_tpu.parallel.mesh import (
+                        replicate,
+                        shard_scan_indices,
+                    )
+
+                    (flat, ys, xs) = shard_scan_indices(
+                        (flat, ys, xs), self.mesh
+                    )
+                    lrs, rng = replicate((lrs, rng), self.mesh)
+                    if not self._scan_stacks_replicated:
+                        self.patch_pipeline.images_dev = replicate(
+                            images_dev, self.mesh
+                        )
+                        images_dev = self.patch_pipeline.images_dev
+                        self._scan_stacks_replicated = True
+                self.train_state, metrics = self._denoise_scan(
+                    self.train_state, images_dev, flat, ys, xs, lrs, rng
                 )
                 pending_metrics.append((metrics, k))
                 self.state[StateValue.ITERATION] += k * batch_size
@@ -512,6 +561,30 @@ class DenoiserTrainer:
         boundary = min(boundary, self.cfg[ConfigValue.ITERATIONS])
         return max((boundary - iteration) // batch_size, 1)
 
+    def _scan_lrs(self, iteration: int, k: int, batch_size: int):
+        """Per-step cosine-ramp learning rates for a K-step scan chunk."""
+        return jnp.asarray(
+            [
+                compute_ramped_lrate(
+                    iteration + i * batch_size,
+                    self.cfg[ConfigValue.ITERATIONS],
+                    self.cfg[ConfigValue.LR_RAMPDOWN_FRACTION],
+                    self.cfg[ConfigValue.LR_RAMPUP_FRACTION],
+                    1e-4,
+                )
+                for i in range(k)
+            ],
+            jnp.float32,
+        )
+
+    def _mesh_divides_batch(self) -> bool:
+        if self.mesh is None:
+            return True
+        # Mesh path: the per-step batch is sharded over 'data', so it
+        # must divide evenly across the chips.
+        batch = int(self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE])
+        return batch % int(self.mesh.devices.size) == 0
+
     def _can_scan(self) -> bool:
         if (
             self.train_sampler is None
@@ -519,13 +592,17 @@ class DenoiserTrainer:
             or self._train_scan is None
         ):
             return False
-        if self.mesh is not None:
-            # Mesh path: the per-step batch is sharded over 'data', so it
-            # must divide evenly across the chips.
-            batch = int(self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE])
-            if batch % int(self.mesh.devices.size) != 0:
-                return False
-        return True
+        return self._mesh_divides_batch()
+
+    def _can_scan_denoise(self) -> bool:
+        from spr_pick_tpu.data.patches import DeviceDenoisePipeline
+
+        if (
+            not isinstance(self.patch_pipeline, DeviceDenoisePipeline)
+            or self._denoise_scan is None
+        ):
+            return False
+        return self._mesh_divides_batch()
 
     def _flush_metrics(self, pending, batch_size: int):
         """Materialise buffered device metrics (per-step dicts or scan-stacked
@@ -1008,6 +1085,7 @@ class DenoiserTrainer:
         self._pending_data_state = (state.get("extra") or {}).get("data_state")
         self._train_step = None
         self._train_scan = None
+        self._denoise_scan = None
         self._eval_step = None
         self._setup_mesh()
 
