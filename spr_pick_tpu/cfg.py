@@ -55,6 +55,10 @@ _DATA_DEFAULTS = {
     CV.TEST_LABEL_PATH: None,
     CV.TEST_GT_PATH: None,
     CV.TEST_DATASET_TYPE: None,
+    # Add the synthetic noise to the INPUT as well as the reference image
+    # (for clean benchmark datasets; the reference carries this switch in
+    # NoisyDataset but ships it disabled — noise_wrapper.py:123).
+    CV.NOISE_INPUT: False,
 }
 _EVAL_DEFAULTS = {
     CV.TEST_MINIBATCH_SIZE: 1,

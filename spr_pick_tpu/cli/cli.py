@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Whether the noise sigma is known / const / var-estimated",
     )
     start.add_argument("--dn_only", action="store_true", help="denoising only")
+    start.add_argument(
+        "--noise_input", action="store_true",
+        help="Also add the synthetic noise to the network INPUT (clean "
+        "benchmark datasets; the reference ships this switch disabled, "
+        "noise_wrapper.py:123)",
+    )
     start.add_argument("--runs_dir", default=cfg_mod.DEFAULT_RUN_DIR)
     start.add_argument("--profile", action="store_true",
                        help="Capture a jax profiler trace of the first print window")
@@ -152,6 +158,8 @@ def run_train(args: Dict):
             cfg[ConfigValue.BB] = args["bb"]
         if args.get("nms") is not None:
             cfg[ConfigValue.NMS] = args["nms"]
+        if args.get("noise_input"):
+            cfg[ConfigValue.NOISE_INPUT] = True
         profile = bool(args.get("profile"))
         if args["dn_only"]:
             trainer = DenoiserTrainer(

@@ -102,26 +102,36 @@ class DeviceDenoisePipeline:
         self.noise_style = noise_style
         self.noise_input = noise_input
 
-        imgs = [np.asarray(dataset[i], np.float32) for i in range(len(dataset))]
-        if not imgs:
+        n_imgs = len(dataset)
+        if n_imgs == 0:
             raise ValueError("empty dataset")
-        # Undersized images take the same reflect pad as random_crop.
-        for i, im in enumerate(imgs):
+        # Decode incrementally, checking a LOWER BOUND of the final padded
+        # stack (n_imgs * hmax_so_far * wmax_so_far) as hmax/wmax grow —
+        # an over-budget dataset is rejected at the first oversize image,
+        # before the whole set is decoded into host RAM (the trainer then
+        # falls back to the lazy host DenoisePatchPipeline).
+        imgs = []
+        hmax = wmax = patch
+        for i in range(n_imgs):
+            im = np.asarray(dataset[i], np.float32)
             h, w = im.shape[:2]
             if h < patch or w < patch:
-                imgs[i] = np.pad(
+                # Undersized images take the same reflect pad as random_crop.
+                im = np.pad(
                     im,
                     ((0, max(0, patch - h)), (0, max(0, patch - w))),
                     mode="reflect",
                 )
-        hmax = max(im.shape[0] for im in imgs)
-        wmax = max(im.shape[1] for im in imgs)
-        nbytes = len(imgs) * hmax * wmax * 4
-        if nbytes > max_bytes:
-            raise ValueError(
-                f"image stack ({nbytes / 2**30:.1f} GiB padded) exceeds the "
-                f"device data-plane budget ({max_bytes / 2**30:.1f} GiB)"
-            )
+                h, w = im.shape[:2]
+            imgs.append(im)
+            hmax, wmax = max(hmax, h), max(wmax, w)
+            nbytes = n_imgs * hmax * wmax * 4
+            if nbytes > max_bytes:
+                raise ValueError(
+                    f"image stack (>= {nbytes / 2**30:.1f} GiB padded) exceeds "
+                    f"the device data-plane budget "
+                    f"({max_bytes / 2**30:.1f} GiB)"
+                )
         stack = np.zeros((len(imgs), hmax, wmax), np.float32)
         for n, im in enumerate(imgs):
             stack[n, : im.shape[0], : im.shape[1]] = im

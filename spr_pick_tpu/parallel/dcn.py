@@ -52,16 +52,24 @@ def shard_sizes(n_items: int, count: int) -> List[int]:
 
 
 def metrics_to_vector(history, keys: Sequence[str]) -> np.ndarray:
-    """Flatten Metric accumulators into a summable float64 vector.
+    """Flatten metric accumulators into a summable float64 vector.
 
     Layout: [total_k0, ..., total_kn, n_k0, ..., n_kn].  Empty metrics
     contribute zeros, so hosts whose shard never produced a metric (e.g.
-    no ground-truth micrographs on that host) merge as no-ops.
+    no ground-truth micrographs on that host) merge as no-ops.  Entries
+    that are plain numbers rather than Metric objects (the trainer keeps
+    its item counter ``history["n"]`` as an int) ride in the totals slot
+    with NaN in the count slot as a type marker — NaN survives the
+    cross-host sum, so the write-back restores a plain number.
     """
     totals = np.zeros(len(keys), np.float64)
     counts = np.zeros(len(keys), np.float64)
     for j, k in enumerate(keys):
         m = history[k]
+        if isinstance(m, (int, float, np.integer, np.floating)):
+            totals[j] = float(m)
+            counts[j] = np.nan
+            continue
         if m.total is not None:
             totals[j] = float(np.asarray(m.total))
         counts[j] = float(m.n)
@@ -72,8 +80,14 @@ def vector_to_metrics(history, keys: Sequence[str], vec: np.ndarray) -> None:
     """Write a (merged) metric vector back into the MetricDict in place."""
     k = len(keys)
     for j, key in enumerate(keys):
+        nval = vec[k + j]
+        if np.isnan(nval):
+            # Plain-number entry (see metrics_to_vector).
+            total = float(vec[j])
+            history[key] = int(round(total)) if total.is_integer() else total
+            continue
         m = history[key]
-        n = int(round(vec[k + j]))
+        n = int(round(nval))
         if n == 0:
             m.reset()
         else:
@@ -81,21 +95,35 @@ def vector_to_metrics(history, keys: Sequence[str], vec: np.ndarray) -> None:
             m.n = n
 
 
-def allreduce_metrics(history, keys: Sequence[str]) -> None:
-    """Sum Metric accumulators across all hosts, in place.
+def allreduce_metrics(history, keys: Sequence[str], base=None):
+    """Sum metric accumulators across all hosts, in place.
 
     Identity on single-process runtimes.  ``keys`` must be the same on
     every host (derive them from cfg, not from which metrics happened to
     be touched) — process_allgather aligns by position.  Used by the
     host-sharded evaluator so the logged n/PSNR are GLOBAL, not per-host.
+
+    ``base``: the vector this function returned on the PREVIOUS call over
+    the same (un-reset) history.  After a merge every host's history holds
+    the GLOBAL totals, so a later merge must exchange only the per-host
+    delta accumulated since — re-gathering the full totals would count the
+    already-global part once per host.  Returns the new merged vector to
+    pass as ``base`` next time (None on single-process runs); callers must
+    drop the base whenever the history is reset.
     """
     if jax.process_count() <= 1:
-        return
+        return None
     from jax.experimental import multihost_utils
 
     local = metrics_to_vector(history, keys)
+    if base is not None:
+        # NaN count-markers pass through: nan - nan = nan.
+        local = local - base
     merged = np.asarray(multihost_utils.process_allgather(local)).sum(axis=0)
+    if base is not None:
+        merged = merged + base
     vector_to_metrics(history, keys, merged)
+    return merged
 
 
 def global_batch(local: np.ndarray, mesh: Mesh, axis: str = DATA_AXIS):

@@ -68,7 +68,7 @@ ConfigValue = _auto_enum(
     TEST_LABEL_PATH TEST_MINIBATCH_SIZE
     PIN_DATA_MEMORY JOINT_LR ALPHA FRACTION NUM_EVAL TAU
     MESH_SHAPE DEVICE_DATA_PATH MAX_PEAKS SEED COMPUTE_DTYPE
-    EXCLUDE_CONTAM
+    EXCLUDE_CONTAM NOISE_INPUT
     """,
 )
 

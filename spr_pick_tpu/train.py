@@ -94,6 +94,9 @@ class DenoiserTrainer:
 
         self.mesh = None
         self._scan_stacks_replicated = False
+        # Multi-host eval metric merge state (parallel/dcn.allreduce_metrics
+        # `base` protocol); reset whenever the eval history is reset.
+        self._eval_merge_base = None
         # Halo-tiled eval engages above this edge length (px).  Tile and
         # halo sizes keep tile+2*halo a multiple of 32 (pad grid) and the
         # halo beyond the detector RF + U-Net decay (parallel/tiling.py).
@@ -183,6 +186,21 @@ class DenoiserTrainer:
     # Data
     # ------------------------------------------------------------------
 
+    def _build_denoise_scan(self):
+        """K-step fused denoise scan for the device data plane.  The batch
+        recipe (algorithm / noise style / noise_input) must match what the
+        pipeline's own `batch()` fallback produces — both sides read the
+        pipeline as the source of truth."""
+        from spr_pick_tpu.steps import make_denoise_scan
+
+        return make_denoise_scan(
+            self.denoiser, self.alpha, self.tau,
+            patch=self.cfg[ConfigValue.TRAIN_PATCH_SIZE],
+            algorithm=self.patch_pipeline.algorithm,
+            noise_style=self.patch_pipeline.noise_style,
+            noise_input=self.patch_pipeline.noise_input,
+        )
+
     def train_data(self):
         """Build training dataset + sampler + device patch pipeline.
 
@@ -245,6 +263,7 @@ class DenoiserTrainer:
             algorithm=cfg[ConfigValue.ALGORITHM],
             noise_style=cfg[ConfigValue.NOISE_STYLE],
             seed=int(cfg.get(ConfigValue.SEED, 0)),
+            noise_input=bool(cfg.get(ConfigValue.NOISE_INPUT, False)),
         )
         pipeline = None
         if os.environ.get("SPR_HOST_DENOISE_DATA", "0") != "1":
@@ -371,14 +390,7 @@ class DenoiserTrainer:
         if self._denoise_scan is None and isinstance(
             self.patch_pipeline, DeviceDenoisePipeline
         ):
-            from spr_pick_tpu.steps import make_denoise_scan
-
-            self._denoise_scan = make_denoise_scan(
-                self.denoiser, self.alpha, self.tau,
-                patch=self.cfg[ConfigValue.TRAIN_PATCH_SIZE],
-                algorithm=self.cfg[ConfigValue.ALGORITHM],
-                noise_style=self.cfg[ConfigValue.NOISE_STYLE],
-            )
+            self._denoise_scan = self._build_denoise_scan()
 
         history = self.state[StateValue.HISTORY]
         batch_size = self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE]
@@ -684,8 +696,11 @@ class DenoiserTrainer:
                 # the group via one vmapped program.
                 from spr_pick_tpu.ops.nms import nms_batch_to_host
 
+                # Heatmaps stay DEVICE-resident (sliced on device, handed
+                # to the vmapped kernel as-is); only the denoised images
+                # cross to host, where find_contamination lives.
                 shape = group[0]["image_shape"]
-                hms = np.asarray(outputs[PipelineOutput.DETECT])[
+                hms = outputs[PipelineOutput.DETECT][
                     :, : shape[0], : shape[1], 0
                 ]
                 suppressed = None
@@ -830,7 +845,12 @@ class DenoiserTrainer:
             from spr_pick_tpu.parallel.dcn import allreduce_metrics
 
             keys = ["n"] + list(self.img_outputs(prefix="psnr").values())
-            allreduce_metrics(eval_history, keys)
+            # The returned base makes a LATER eval over the same un-reset
+            # history merge only its delta (post-merge, every host already
+            # holds the global totals); reset_metrics drops it.
+            self._eval_merge_base = allreduce_metrics(
+                eval_history, keys, base=self._eval_merge_base
+            )
 
     def _evaluate_tiled(self, item: Dict) -> Dict:
         """Halo-tiled dense pass for micrographs above `tile_eval_threshold`
@@ -923,9 +943,13 @@ class DenoiserTrainer:
             )
             suppressed = None
             if (
-                self.cfg.get(ConfigValue.EXCLUDE_CONTAM, False)
+                outputs.get("_picks") is None
+                and self.cfg.get(ConfigValue.EXCLUDE_CONTAM, False)
                 and PipelineOutput.IMG_DENOISED in outputs
             ):
+                # Skipped when picks were precomputed: the batched path
+                # already seeded its NMS with find_contamination, and
+                # write_scores ignores `suppressed` once picks exist.
                 from spr_pick_tpu.ops.algorithms import find_contamination
 
                 den = unpad(
@@ -1179,6 +1203,8 @@ class DenoiserTrainer:
             reset(self.state[StateValue.HISTORY][HistoryValue.TRAIN])
         if eval:
             reset(self.state[StateValue.HISTORY][HistoryValue.EVAL])
+            # Fresh history: the multi-host merge base is stale now.
+            self._eval_merge_base = None
 
     def update_eta(self, samples: int, elapsed: float, smoothing_factor=0.95):
         """Parity: train.py:890-923."""

@@ -11,11 +11,13 @@ from tests.test_e2e import make_synthetic_dataset
 
 
 @pytest.mark.slow
-def test_cli_train_and_eval_subprocess(tmp_path, rng):
+def test_cli_train_and_eval_subprocess(tmp_path, rng, subprocess_jax_env):
     images_txt, coords_txt = make_synthetic_dataset(tmp_path, rng, n_images=1)
     runs_dir = str(tmp_path / "runs")
 
-    env = dict(os.environ)
+    # TPU when the backend probe passed; a TPU-free CPU env when the
+    # tunnel is down (the child would otherwise hang in plugin init).
+    env = subprocess_jax_env
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
     cmd = [

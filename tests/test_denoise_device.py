@@ -239,6 +239,70 @@ def test_device_pipeline_resume(rng):
         np.testing.assert_array_equal(np.asarray(want[k]), np.asarray(got[k]))
 
 
+def test_budget_gate_rejects_before_full_decode():
+    """The max_bytes gate must fire DURING the decode loop (lower bound on
+    the final padded stack), not after the whole dataset sits in host RAM."""
+    decoded = []
+
+    class CountingDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            decoded.append(i)
+            return np.zeros((256, 256), np.float32)
+
+        def name(self, i):
+            return f"img{i}"
+
+    with pytest.raises(ValueError):
+        DeviceDenoisePipeline(
+            CountingDataset(), patch=64,
+            algorithm=NoiseAlgorithm.NOISE_TO_CLEAN, noise_style="gauss25",
+            max_bytes=1 << 20,  # 64*256*256*4 = 16 MiB padded
+        )
+    # 64 * 256 * 256 * 4 already exceeds 1 MiB at the FIRST image.
+    assert decoded == [0]
+
+
+def test_trainer_scan_recipe_matches_pipeline(tmp_path, rng, monkeypatch):
+    """The trainer's fused K-step scan must be built from the PIPELINE's
+    batch recipe (algorithm/noise_style/noise_input), so the scan fast path
+    and the pipeline.batch() fallback construct identical batches."""
+    from spr_pick_tpu import steps as steps_mod
+    from spr_pick_tpu.data import mrc
+    from spr_pick_tpu.train import DenoiserTrainer
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    mrc.write(str(img_dir / "img0.mrc"), rng.randn(96, 96).astype(np.float32))
+
+    captured = {}
+    real = steps_mod.make_denoise_scan
+
+    def recording(*args, **kwargs):
+        captured.update(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(steps_mod, "make_denoise_scan", recording)
+
+    cfg = cfg_mod.base()
+    cfg[ConfigValue.ALGORITHM] = NoiseAlgorithm.NOISE_TO_CLEAN
+    cfg[ConfigValue.NOISE_STYLE] = "gauss25"
+    cfg[ConfigValue.NOISE_INPUT] = True
+    trainer = DenoiserTrainer(cfg, mode="denoise", runs_dir=str(tmp_path / "runs"))
+    trainer.set_train_data(str(img_dir))
+    trainer.new_target()
+    _, _, pipeline = trainer.train_data()
+    trainer.patch_pipeline = pipeline
+
+    assert pipeline.noise_input is True  # cfg reached the pipeline
+    trainer._build_denoise_scan()
+    assert captured["noise_input"] is True
+    assert captured["algorithm"] == pipeline.algorithm
+    assert captured["noise_style"] == pipeline.noise_style
+
+
 def test_sample_coords_in_bounds(rng):
     ds = _dataset(rng)
     pipe = DeviceDenoisePipeline(
