@@ -338,5 +338,29 @@ def main():
     )
 
 
+def _gate_backend():
+    """Fail FAST with a clear message if the TPU tunnel is dead.
+
+    The axon client can hang for many minutes in init before an
+    UNAVAILABLE; without this gate a driver invoking bench.py would sit on
+    a silent hang instead of recording an actionable error.  CPU fallback
+    is deliberately NOT offered — CPU numbers would corrupt the benchmark
+    record.
+    """
+    import sys
+
+    from spr_pick_tpu.utils.cpuforce import default_backend_alive
+
+    timeout = float(os.environ.get("SPR_TPU_PROBE_TIMEOUT", "90"))
+    if not default_backend_alive(timeout=timeout):
+        sys.stderr.write(
+            "bench.py: default jax backend unreachable (TPU tunnel "
+            f"dead/hung; probe timeout {timeout:.0f}s) - refusing to "
+            "bench.  Retry when the TPU client is healthy.\n"
+        )
+        sys.exit(1)
+
+
 if __name__ == "__main__":
+    _gate_backend()
     main()

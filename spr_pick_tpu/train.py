@@ -97,6 +97,10 @@ class DenoiserTrainer:
         # Multi-host eval metric merge state (parallel/dcn.allreduce_metrics
         # `base` protocol); reset whenever the eval history is reset.
         self._eval_merge_base = None
+        # Graceful-stop flag set by SIGTERM/SIGINT (preemption awareness —
+        # the reference has none, SURVEY.md §5); checked at window
+        # boundaries in train().
+        self._stop_requested = False
         # Halo-tiled eval engages above this edge length (px).  Tile and
         # halo sizes keep tile+2*halo a multiple of 32 (pad grid) and the
         # halo beyond the detector RF + U-Net decay (parallel/tiling.py).
@@ -351,6 +355,48 @@ class DenoiserTrainer:
     # Training loop
     # ------------------------------------------------------------------
 
+    def _install_stop_handlers(self):
+        """Catch SIGTERM/SIGINT and convert them into a graceful stop.
+
+        TPU pods get preempted; the reference has no signal handling at all
+        (SURVEY.md §5 — recovery is manual resume from the last periodic
+        snapshot, losing up to SNAPSHOT_INTERVAL iterations).  Here the
+        first signal sets a flag the train loop checks at the next window
+        boundary: it flushes metrics, writes a resumable snapshot and
+        returns cleanly.  A second SIGINT falls through to the default
+        KeyboardInterrupt (an impatient Ctrl-C Ctrl-C still kills).
+
+        Returns a restore() callable; no-op off the main thread (signal
+        handlers can only be installed there — tests drive trainers from
+        worker threads).
+        """
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return lambda: None
+
+        def handler(signum, frame):
+            if self._stop_requested and signum == signal.SIGINT:
+                raise KeyboardInterrupt
+            self._stop_requested = True
+            logger.warning(
+                "received %s - will snapshot and stop at the next window "
+                "boundary (repeat Ctrl-C to kill)",
+                signal.Signals(signum).name,
+            )
+
+        prev = {
+            s: signal.signal(s, handler)
+            for s in (signal.SIGTERM, signal.SIGINT)
+        }
+
+        def restore():
+            for s, h in prev.items():
+                signal.signal(s, h)
+
+        return restore
+
     def train(self):
         if self.denoiser is None:
             self.new_target()
@@ -370,6 +416,11 @@ class DenoiserTrainer:
             self.testset, self.test_sampler = self.test_data()
             logger.info("Loaded Validation Dataset.")
 
+        self._stop_requested = False
+        _restore_handlers = self._install_stop_handlers()
+
+        # Banner AFTER handler installation: once "TRAINING STARTED" is in
+        # the log, a SIGTERM is guaranteed a graceful snapshot-and-stop.
         logger.info(separator())
         logger.info("TRAINING STARTED")
         logger.info(separator())
@@ -410,6 +461,23 @@ class DenoiserTrainer:
 
         while True:
             iteration = self.state[StateValue.ITERATION]
+
+            if self._stop_requested:
+                # Graceful preemption: flush, snapshot (resumable), return.
+                # Deliberately NO final-{config}.wt — that file means the
+                # run COMPLETED; `train resume` picks up the .training.
+                self._flush_metrics(pending_metrics, batch_size)
+                if profiling:
+                    jax.profiler.stop_trace()
+                self.snapshot()
+                _restore_handlers()
+                logger.info(separator())
+                logger.info(
+                    "TRAINING STOPPED at iteration %d (signal) - resume "
+                    "with `train resume %s`", iteration, self.run_dir_path,
+                )
+                logger.info(separator())
+                return
 
             if (
                 iteration % self.cfg[ConfigValue.EVAL_INTERVAL] == 0
@@ -547,6 +615,7 @@ class DenoiserTrainer:
         self._flush_metrics(pending_metrics, batch_size)
         if profiling:
             jax.profiler.stop_trace()
+        _restore_handlers()
 
         logger.info(separator())
         logger.info("TRAINING FINISHED")

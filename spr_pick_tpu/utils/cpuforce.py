@@ -14,6 +14,9 @@ VERDICT r2 item 1) and by the test suite's subprocess fixtures.
 """
 
 import os
+import signal
+import subprocess
+import sys
 from typing import Dict, Optional
 
 #: env vars whose presence makes the sitecustomize register the TPU plugin
@@ -56,3 +59,28 @@ def cpu_forced_env(
         xla_flags += f" --xla_force_host_platform_device_count={n_cpu_devices}"
         env["XLA_FLAGS"] = xla_flags.strip()
     return env
+
+
+def default_backend_alive(timeout: float = 75.0) -> bool:
+    """Probe the default jax backend in a subprocess with a hard timeout.
+
+    The TPU client here reaches the chip through a tunnel that sometimes
+    dies or HANGS (init blocks for minutes before an UNAVAILABLE), so an
+    in-process ``jax.devices()`` can hang unrecoverably — a killable
+    subprocess is the only safe check.  Used by the test suite's CPU
+    fallback and by bench.py's fail-fast gate.
+    """
+    # DEVNULL, not PIPE: a hung TPU client leaves threads holding the pipe
+    # open and a captured read would block even after killing the child.
+    # start_new_session so the kill reaps any helper processes.
+    proc = subprocess.Popen(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    try:
+        return proc.wait(timeout=timeout) == 0
+    except subprocess.TimeoutExpired:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+        return False

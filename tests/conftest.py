@@ -8,7 +8,6 @@ explicitly, which coexists with a TPU default backend.
 """
 
 import os
-import subprocess
 import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
@@ -31,23 +30,11 @@ def _default_backend_alive() -> bool:
     plat = os.environ.get("JAX_PLATFORMS", "")
     if plat and not any(p in plat for p in ("axon", "tpu")):
         return True  # explicitly non-TPU (e.g. cpu): no probe, no fallback
-    timeout = float(os.environ.get("SPR_TPU_PROBE_TIMEOUT", "75"))
-    # DEVNULL, not PIPE: a hung TPU client leaves threads holding the pipe
-    # open, and run(capture_output=...) would block on the read even after
-    # killing the child.  start_new_session so the kill reaps any helpers.
-    proc = subprocess.Popen(
-        [sys.executable, "-c", "import jax; jax.devices()"],
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        start_new_session=True,
-    )
-    try:
-        return proc.wait(timeout=timeout) == 0
-    except subprocess.TimeoutExpired:
-        import signal
+    from spr_pick_tpu.utils.cpuforce import default_backend_alive
 
-        os.killpg(proc.pid, signal.SIGKILL)
-        proc.wait()
-        return False
+    return default_backend_alive(
+        timeout=float(os.environ.get("SPR_TPU_PROBE_TIMEOUT", "75"))
+    )
 
 
 _backend_ok = _default_backend_alive()
