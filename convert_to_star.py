@@ -17,12 +17,8 @@ given.
 from __future__ import annotations
 
 import argparse
-import glob
-import os
 
-import pandas as pd
-
-from spr_pick_tpu.data import star
+from spr_pick_tpu.data.star_export import convert
 
 
 def main():
@@ -37,35 +33,12 @@ def main():
                    "(applied after scaling); reference run used 15 1425 15 1009")
     args = p.parse_args()
 
-    frames = []
-    for path in sorted(glob.glob(os.path.join(args.scores_dir, "*_scores.txt"))):
-        df = pd.read_csv(path, sep="\t")
-        frames.append(df)
-    if not frames:
-        raise SystemExit(f"no *_scores.txt files found in {args.scores_dir}")
-    table = pd.concat(frames, ignore_index=True)
-
-    table = table[table["score"] > args.threshold]
-    table["x_coord"] = (table["x_coord"] * args.scale).astype(int)
-    table["y_coord"] = (table["y_coord"] * args.scale).astype(int)
-    if args.borders is not None:
-        xmin, xmax, ymin, ymax = args.borders
-        table = table[
-            (table.x_coord > xmin) & (table.x_coord < xmax)
-            & (table.y_coord > ymin) & (table.y_coord < ymax)
-        ]
-
-    out = pd.DataFrame(
-        {
-            "MicrographName": table["image_name"],
-            star.X_COLUMN_NAME: table["x_coord"],
-            star.Y_COLUMN_NAME: table["y_coord"],
-            star.SCORE_COLUMN_NAME: table["score"],
-        }
-    )
-    with open(args.output, "w") as f:
-        star.write(out, f)
-    print(f"wrote {len(out)} particles to {args.output}")
+    try:
+        n = convert(args.scores_dir, args.output, args.threshold,
+                    args.scale, args.borders)
+    except FileNotFoundError as exc:
+        raise SystemExit(str(exc))
+    print(f"wrote {n} particles to {args.output}")
 
 
 if __name__ == "__main__":

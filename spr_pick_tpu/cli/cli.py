@@ -10,6 +10,8 @@ dataset/label/gt paths).
 from __future__ import annotations
 
 import argparse
+import logging
+import os
 import sys
 from typing import Dict, List, Optional
 
@@ -104,6 +106,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="Seed NMS with a contamination mask detected on the denoised "
         "output (reference find_contamination hook)",
     )
+    ev.add_argument(
+        "--export_star", metavar="PATH", nargs="?", const="particles.star",
+        help="After eval, aggregate the *_scores.txt picks into a RELION "
+        ".star (one-command version of convert_to_star.py; default "
+        "particles.star inside the eval run dir)",
+    )
+    ev.add_argument("--star_threshold", type=float, default=0.13,
+                    help="Score threshold for --export_star")
+    ev.add_argument("--star_scale", type=float, default=4.0,
+                    help="Coordinate upscale for --export_star (binning undo)")
     return parser
 
 
@@ -196,6 +208,19 @@ def run_eval(args: Dict):
     if args.get("exclude_contam"):
         evaluator.cfg[ConfigValue.EXCLUDE_CONTAM] = True
     evaluator.evaluate()
+
+    if args.get("export_star"):
+        from spr_pick_tpu.data.star_export import convert
+
+        out = args["export_star"]
+        if not os.path.isabs(out):
+            out = os.path.join(evaluator.run_dir_path, out)
+        n = convert(
+            os.path.join(evaluator.run_dir_path, "eval_imgs"), out,
+            threshold=args.get("star_threshold", 0.13),
+            scale=args.get("star_scale", 4.0),
+        )
+        logging.getLogger("cli").info("wrote %d particles to %s", n, out)
 
 
 def start(argv: Optional[List[str]] = None):

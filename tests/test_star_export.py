@@ -1,0 +1,123 @@
+"""Scores -> RELION .star export (reference convert_to_star.py parity).
+
+Reference behaviour (/root/reference/convert_to_star.py): concatenate all
+`*_scores.txt`, keep score > 0.13, multiply coordinates by 4 (undoing the
+8x->2x binning ratio) and truncate to int, optional post-scale border
+keep-window.  Exposed as spr_pick_tpu.data.star_export.convert, the root
+convert_to_star.py CLI and the eval --export_star flag.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from spr_pick_tpu.data import star
+from spr_pick_tpu.data.star_export import convert
+
+
+def _write_scores(path, rows):
+    with open(path, "w") as f:
+        f.write("image_name\tx_coord\ty_coord\tscore\n")
+        for name, x, y, s in rows:
+            f.write(f"{name}\t{x}\t{y}\t{s}\n")
+
+
+def test_convert_threshold_scale_and_roundtrip(tmp_path):
+    _write_scores(tmp_path / "a_scores.txt", [
+        ("mic0", 10, 20, 0.5),
+        ("mic0", 30, 40, 0.10),   # below threshold -> dropped
+    ])
+    _write_scores(tmp_path / "b_scores.txt", [
+        ("mic1", 7, 9, 0.99),
+    ])
+    out = str(tmp_path / "particles.star")
+    n = convert(str(tmp_path), out, threshold=0.13, scale=4.0)
+    assert n == 2
+
+    with open(out) as f:
+        table = star.parse(f)
+    assert list(table["MicrographName"]) == ["mic0", "mic1"]
+    # x4 upscale, int truncation
+    assert list(table[star.X_COLUMN_NAME]) == [40, 28]
+    assert list(table[star.Y_COLUMN_NAME]) == [80, 36]
+    np.testing.assert_allclose(
+        table[star.SCORE_COLUMN_NAME].astype(float), [0.5, 0.99]
+    )
+
+
+def test_convert_borders_applied_after_scale(tmp_path):
+    _write_scores(tmp_path / "a_scores.txt", [
+        ("mic0", 2, 50, 0.9),    # x*4 = 8 <= xmin 8 -> dropped (strict >)
+        ("mic0", 3, 50, 0.9),    # x*4 = 12, inside
+        ("mic0", 100, 50, 0.9),  # x*4 = 400 >= xmax 400 -> dropped
+    ])
+    out = str(tmp_path / "p.star")
+    n = convert(str(tmp_path), out, threshold=0.0, scale=4.0,
+                borders=(8, 400, 0, 1000))
+    assert n == 1
+    with open(out) as f:
+        table = star.parse(f)
+    assert list(table[star.X_COLUMN_NAME]) == [12]
+
+
+def test_convert_missing_scores_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        convert(str(tmp_path), str(tmp_path / "o.star"))
+
+
+def test_eval_parser_accepts_export_star():
+    from spr_pick_tpu.cli.cli import build_parser
+
+    parser = build_parser()
+    base = ["eval", "-m", "m.wt", "-d", "imgs.txt"]
+    args = vars(parser.parse_args(base))
+    assert args["export_star"] is None  # off by default
+
+    args = vars(parser.parse_args(base + ["--export_star"]))
+    assert args["export_star"] == "particles.star"  # bare flag -> default name
+
+    args = vars(parser.parse_args(
+        base + ["--export_star", "/out/p.star",
+                "--star_threshold", "0.2", "--star_scale", "2"]
+    ))
+    assert args["export_star"] == "/out/p.star"
+    assert args["star_threshold"] == 0.2
+    assert args["star_scale"] == 2.0
+
+
+def test_run_eval_exports_star(tmp_path, monkeypatch):
+    """run_eval with --export_star aggregates the run's eval_imgs scores
+    into a .star inside the run dir (evaluator stubbed: export is host-side
+    plumbing, the dense path is covered elsewhere)."""
+    from spr_pick_tpu.cli import cli as cli_mod
+
+    run_dir = tmp_path / "00000-eval-x"
+    eval_imgs = run_dir / "eval_imgs"
+    eval_imgs.mkdir(parents=True)
+    _write_scores(eval_imgs / "mic0_00000001_scores.txt",
+                  [("mic0", 5, 6, 0.9)])
+
+    class StubEvaluator:
+        run_dir_path = str(run_dir)
+
+        def __init__(self, *a, **k):
+            pass
+
+        def set_test_data(self, *_):
+            pass
+
+        def evaluate(self):
+            pass
+
+    monkeypatch.setattr(
+        "spr_pick_tpu.eval.DenoiserEvaluator", StubEvaluator
+    )
+    cli_mod.start([
+        "eval", "-m", "m.wt", "-d", "imgs.txt", "--export_star",
+    ])
+    out = run_dir / "particles.star"
+    assert out.exists()
+    with open(out) as f:
+        table = star.parse(f)
+    assert list(table[star.X_COLUMN_NAME]) == [20]
