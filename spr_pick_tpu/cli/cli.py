@@ -116,6 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Score threshold for --export_star")
     ev.add_argument("--star_scale", type=float, default=4.0,
                     help="Coordinate upscale for --export_star (binning undo)")
+    ev.add_argument("--star_borders", type=int, nargs=4, default=None,
+                    metavar=("XMIN", "XMAX", "YMIN", "YMAX"),
+                    help="Keep-window for --export_star, applied after "
+                    "scaling (reference run used 15 1425 15 1009)")
     return parser
 
 
@@ -219,6 +223,7 @@ def run_eval(args: Dict):
             os.path.join(evaluator.run_dir_path, "eval_imgs"), out,
             threshold=args.get("star_threshold", 0.13),
             scale=args.get("star_scale", 4.0),
+            borders=args.get("star_borders"),
         )
         logging.getLogger("cli").info("wrote %d particles to %s", n, out)
 

@@ -131,6 +131,51 @@ def test_scan_gather_sharding_mechanism(cpu_mesh_devices, rng):
 
 
 @pytest.mark.slow
+def test_sharded_eval_matches_single(cpu_mesh_devices, rng):
+    """Data-parallel dense EVAL over the mesh (the evaluator shards a
+    same-shape micrograph group over 'data' when it divides the mesh,
+    train.py `_evaluate`): outputs must equal the single-device run.
+    Partitionable threefry makes the per-example sample-RNG draws
+    identical under sharding (see test_denoise_parallel for the data-plane
+    analog)."""
+    from spr_pick_tpu.params import PipelineOutput
+    from spr_pick_tpu.steps import make_eval_step
+
+    den = Denoiser(_cfg(), mode="joint")
+    cpu0 = cpu_mesh_devices[0]
+    with jax.default_device(cpu0):
+        state = init_state(den, seed=0)
+        step = make_eval_step(den, dense=True)
+        # 96 = smallest multiple of 32 above the detector RF (63).
+        batch = {"inp": jnp.asarray(rng.rand(8, 96, 96, 1), jnp.float32)}
+        key = jax.random.PRNGKey(7)
+
+        out1 = step(
+            jax.device_put(state, cpu0), jax.device_put(batch, cpu0), key
+        )
+        det1 = np.asarray(out1[PipelineOutput.DETECT])
+        img1 = np.asarray(out1[PipelineOutput.IMG_DENOISED])
+
+    mesh = make_mesh(8, devices=cpu_mesh_devices)
+    out8 = step(
+        replicate(init_state(den, seed=0), mesh),
+        shard_batch(batch, mesh),
+        replicate(key, mesh),
+    )
+    # Per-example math is identical, but XLA picks different conv blocking
+    # for batch-8 (single device) vs batch-1-per-shard programs -> f32
+    # reassociation noise ~1e-4 absolute (measured max 5.7e-5); relative
+    # tolerance alone would flag near-zero pixels.
+    np.testing.assert_allclose(
+        det1, np.asarray(out8[PipelineOutput.DETECT]), rtol=1e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        img1, np.asarray(out8[PipelineOutput.IMG_DENOISED]),
+        rtol=1e-3, atol=2e-4,
+    )
+
+
+@pytest.mark.slow
 @pytest.mark.skipif(
     not __import__("os").environ.get("SPR_EXHAUSTIVE"),
     reason="joint-scan XLA CPU compile takes ~1 h on 1-core hosts; "

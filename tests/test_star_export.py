@@ -79,11 +79,13 @@ def test_eval_parser_accepts_export_star():
 
     args = vars(parser.parse_args(
         base + ["--export_star", "/out/p.star",
-                "--star_threshold", "0.2", "--star_scale", "2"]
+                "--star_threshold", "0.2", "--star_scale", "2",
+                "--star_borders", "15", "1425", "15", "1009"]
     ))
     assert args["export_star"] == "/out/p.star"
     assert args["star_threshold"] == 0.2
     assert args["star_scale"] == 2.0
+    assert args["star_borders"] == [15, 1425, 15, 1009]
 
 
 def test_run_eval_exports_star(tmp_path, monkeypatch):
