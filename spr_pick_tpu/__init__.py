@@ -19,3 +19,13 @@ from spr_pick_tpu.params import (
 )
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy: `from spr_pick_tpu import Picker` without importing jax/pandas
+    # at package-import time.
+    if name == "Picker":
+        from spr_pick_tpu.api import Picker
+
+        return Picker
+    raise AttributeError(f"module 'spr_pick_tpu' has no attribute {name!r}")

@@ -1,0 +1,149 @@
+"""Programmatic picking/denoising API — one import, one call.
+
+The reference has no library surface: picking a micrograph from Python
+means driving its Trainer/eval internals by hand.  Here:
+
+    from spr_pick_tpu.api import Picker
+
+    picker = Picker("final-ssdn-gauss.wt")        # or .training
+    picks = picker.pick("mic.mrc")                # DataFrame: name/x/y/score
+    den   = picker.denoise("mic.mrc")             # float32 H,W
+
+Semantics match the evaluator exactly (same dense forward, same device NMS,
+same 30 px border filter and x/y column order as `_scores.txt` /
+convert_to_star — train.py:write_scores).  Arrays are accepted as well as
+paths; pass `standardize=True` at load for header-based MRC normalisation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional, Union
+
+import numpy as np
+import pandas as pd
+
+from spr_pick_tpu.data.loader import load_image
+from spr_pick_tpu.data.micrograph import pad_to_multiple, unpad
+from spr_pick_tpu.params import ConfigValue, PipelineOutput
+
+ImageLike = Union[str, np.ndarray]
+
+
+class Picker:
+    """Load a checkpoint once, then pick/denoise micrographs.
+
+    ``checkpoint``: `.training` (full state) or `.wt` (weights+cfg) file,
+    including checkpoints imported from the reference via
+    tools/import_reference_checkpoint.py.
+
+    ``nms_radius`` defaults to the checkpoint cfg's NMS value,
+    ``threshold`` to the product's 0.02 heatmap floor, ``border`` to the
+    evaluator's 30 px frame (pass 0 to keep edge picks).
+    """
+
+    def __init__(self, checkpoint: str, mode: str = "joint",
+                 nms_radius: Optional[int] = None, threshold: float = 0.02,
+                 max_peaks: int = 2048, border: int = 30, seed: int = 0):
+        # The evaluator owns checkpoint-format dispatch (.training vs .wt)
+        # and model reconstruction from the embedded cfg; reuse it as the
+        # loader.  No run dir is created: evaluate() is never called and
+        # run_dir_path stays untouched.
+        from spr_pick_tpu.eval import DenoiserEvaluator
+
+        self._ev = DenoiserEvaluator(checkpoint, mode=mode)
+        self.nms_radius = int(
+            nms_radius if nms_radius is not None
+            else self._ev.cfg[ConfigValue.NMS]
+        )
+        self.threshold = float(threshold)
+        self.max_peaks = int(max_peaks)
+        self.border = int(border)
+        self.seed = int(seed)
+        self._step = None
+
+    # ------------------------------------------------------------------
+
+    def _forward(self, image: ImageLike, standardize: bool = False):
+        """Dense forward on one micrograph; returns (outputs, shape)."""
+        import jax
+        import jax.numpy as jnp
+
+        from spr_pick_tpu.steps import make_eval_step
+
+        if isinstance(image, str):
+            img = load_image(image, standardize=standardize)
+        else:
+            img = np.ascontiguousarray(image, np.float32)
+            if img.ndim != 2:
+                raise ValueError(f"expected a 2-D micrograph, got {img.shape}")
+        if self._step is None:
+            self._step = make_eval_step(self._ev.denoiser, dense=True)
+        square = not self._ev.denoiser.supports_rect_dense
+        padded, shape = pad_to_multiple(img, 32, square=square)
+        outputs = self._step(
+            self._ev.train_state,
+            {"inp": jnp.asarray(padded[None, :, :, None])},
+            jax.random.PRNGKey(self.seed),
+        )
+        return outputs, shape
+
+    def pick(self, image: ImageLike, name: Optional[str] = None,
+             standardize: bool = False) -> pd.DataFrame:
+        """Pick one micrograph -> DataFrame(image_name, x_coord, y_coord,
+        score), sorted by descending score, border-filtered — identical
+        semantics (incl. x/y column order) to the evaluator's _scores.txt.
+        """
+        from spr_pick_tpu.ops.nms import nms_to_host
+
+        if name is None:
+            name = (
+                os.path.splitext(os.path.basename(image))[0]
+                if isinstance(image, str) else "image"
+            )
+        outputs, shape = self._forward(image, standardize=standardize)
+        if PipelineOutput.DETECT not in outputs:
+            raise ValueError(
+                "checkpoint has no detector head (denoise-only model); "
+                "use .denoise()"
+            )
+        hm = np.asarray(outputs[PipelineOutput.DETECT])[
+            0, : shape[0], : shape[1], 0
+        ]
+        scores, coords = nms_to_host(
+            hm, self.nms_radius, threshold=self.threshold,
+            max_peaks=self.max_peaks,
+        )
+        b = self.border
+        x_max, y_max = hm.shape[0] - b, hm.shape[1] - b
+        keep = (
+            (coords[:, 1] > b) & (coords[:, 1] < x_max)
+            & (coords[:, 0] > b) & (coords[:, 0] < y_max)
+        ) if b > 0 else np.ones(len(scores), bool)
+        return pd.DataFrame(
+            {
+                "image_name": name,
+                "x_coord": coords[keep, 1].astype(int),
+                "y_coord": coords[keep, 0].astype(int),
+                "score": scores[keep],
+            }
+        )
+
+    def pick_many(self, images: Iterable[ImageLike],
+                  standardize: bool = False) -> pd.DataFrame:
+        """Pick several micrographs; one concatenated DataFrame."""
+        frames = [self.pick(im, standardize=standardize) for im in images]
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            columns=["image_name", "x_coord", "y_coord", "score"]
+        )
+
+    def denoise(self, image: ImageLike,
+                standardize: bool = False) -> np.ndarray:
+        """Denoise one micrograph -> float32 H,W (original shape)."""
+        outputs, shape = self._forward(image, standardize=standardize)
+        key = (
+            PipelineOutput.IMG_DENOISED
+            if PipelineOutput.IMG_DENOISED in outputs
+            else PipelineOutput.IMG_MU
+        )
+        return unpad(np.asarray(outputs[key])[0, :, :, 0], shape)

@@ -1,0 +1,124 @@
+"""Programmatic Picker API (spr_pick_tpu/api.py).
+
+The reference has no library surface; the API must match the evaluator's
+export semantics exactly — same dense forward, same device NMS, same 30 px
+border filter and x/y column order as `_scores.txt`.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spr_pick_tpu import cfg as cfg_mod
+from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm, NoiseValue
+
+
+def _train_tiny_joint(tmp_path, rng, zero_sigma_head: bool):
+    """4-iteration joint run on synthetic data; returns (wt_path, images_txt).
+
+    ``zero_sigma_head``: zero the A (sigma) half of the output head so
+    z == mu exactly — the dense forward becomes sample-RNG independent and
+    the API (fixed PRNGKey) matches the evaluator (its own RNG stream)
+    bit-for-bit, the same trick as tests/test_pick_parity_vs_reference.py.
+    """
+    import jax.numpy as jnp
+
+    from spr_pick_tpu.train import DenoiserTrainer
+    from tests.test_e2e import make_synthetic_dataset
+
+    images_txt, coords_txt = make_synthetic_dataset(tmp_path, rng, n_images=1)
+    cfg = cfg_mod.base()
+    cfg[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    cfg[ConfigValue.NOISE_STYLE] = "gauss"
+    cfg[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
+    cfg[ConfigValue.ITERATIONS] = 4
+    cfg[ConfigValue.TRAIN_MINIBATCH_SIZE] = 4
+    cfg[ConfigValue.EVAL_INTERVAL] = 1000
+    cfg[ConfigValue.PRINT_INTERVAL] = 1000
+    cfg[ConfigValue.SNAPSHOT_INTERVAL] = 1000
+    trainer = DenoiserTrainer(
+        cfg, mode="joint", alpha=0.75, tau=0.05,
+        runs_dir=str(tmp_path / "runs"),
+    )
+    trainer.set_train_data(images_txt)
+    trainer.set_train_label(coords_txt)
+    trainer.train()
+
+    if zero_sigma_head:
+        head = trainer.train_state.trainable["model"]["denoise_branch"][
+            "out_conv"
+        ]["conv"]
+        kernel = np.asarray(head["kernel"]).copy()  # (1, 1, in, [mu|A])
+        bias = np.asarray(head["bias"]).copy()
+        kernel[..., 1] = 0.0
+        bias[1] = 0.0
+        head["kernel"] = jnp.asarray(kernel)
+        head["bias"] = jnp.asarray(bias)
+        trainer.snapshot(output_name="zeroed.wt", subdir="", model_only=True)
+        wt = os.path.join(trainer.run_dir_path, "zeroed.wt")
+    else:
+        wt = [
+            os.path.join(trainer.run_dir_path, f)
+            for f in os.listdir(trainer.run_dir_path)
+            if f.endswith(".wt")
+        ][0]
+    return wt, images_txt
+
+
+@pytest.mark.slow
+def test_picker_matches_evaluator_scores(tmp_path, rng):
+    from spr_pick_tpu.api import Picker
+    from spr_pick_tpu.eval import DenoiserEvaluator
+
+    wt, images_txt = _train_tiny_joint(tmp_path, rng, zero_sigma_head=True)
+    mic_path = pd.read_csv(images_txt, sep="\t")["path"][0]
+
+    # Evaluator export of record
+    ev = DenoiserEvaluator(wt, runs_dir=str(tmp_path / "runs"))
+    ev.set_test_data(images_txt)
+    ev.cfg[ConfigValue.NUM_EVAL] = 1
+    ev.evaluate()
+    eval_dir = os.path.join(ev.run_dir_path, "eval_imgs")
+    score_file = [
+        f for f in os.listdir(eval_dir) if f.endswith("_scores.txt")
+    ][0]
+    ref = pd.read_csv(os.path.join(eval_dir, score_file), sep="\t")
+
+    # API on the same checkpoint + micrograph
+    picker = Picker(wt)
+    got = picker.pick(mic_path)
+
+    assert list(got.columns) == ["image_name", "x_coord", "y_coord", "score"]
+    ref_set = set(zip(ref.x_coord, ref.y_coord))
+    got_set = set(zip(got.x_coord, got.y_coord))
+    assert got_set == ref_set, (
+        f"API picks diverge from evaluator: {got_set ^ ref_set}"
+    )
+    # Scores agree too (sort both by coordinates)
+    ref_s = ref.sort_values(["x_coord", "y_coord"]).score.to_numpy()
+    got_s = got.sort_values(["x_coord", "y_coord"]).score.to_numpy()
+    np.testing.assert_allclose(got_s, ref_s, rtol=1e-5, atol=1e-6)
+
+    # Border filter: no pick within 30 px of any edge
+    img_h = img_w = 384
+    assert ((got.x_coord > 30) & (got.x_coord < img_w - 30)).all()
+    assert ((got.y_coord > 30) & (got.y_coord < img_h - 30)).all()
+
+    # Path and pre-loaded array give identical results (same normalisation
+    # applied upstream of pick()).
+    from spr_pick_tpu.data.loader import load_image
+
+    got_arr = picker.pick(load_image(mic_path), name=got.image_name[0])
+    pd.testing.assert_frame_equal(got, got_arr)
+
+    # pick_many concatenates
+    many = picker.pick_many([mic_path, mic_path])
+    assert len(many) == 2 * len(got)
+
+    # denoise returns the original (unpadded) shape
+    den = picker.denoise(mic_path)
+    assert den.shape == (img_h, img_w)
+    assert den.dtype == np.float32
+    assert np.isfinite(den).all()
