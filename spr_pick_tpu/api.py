@@ -71,12 +71,7 @@ class Picker:
 
         from spr_pick_tpu.steps import make_eval_step
 
-        if isinstance(image, str):
-            img = load_image(image, standardize=standardize)
-        else:
-            img = np.ascontiguousarray(image, np.float32)
-            if img.ndim != 2:
-                raise ValueError(f"expected a 2-D micrograph, got {img.shape}")
+        img = self._load(image, standardize)
         if self._step is None:
             self._step = make_eval_step(self._ev.denoiser, dense=True)
         square = not self._ev.denoiser.supports_rect_dense
@@ -114,8 +109,13 @@ class Picker:
             hm, self.nms_radius, threshold=self.threshold,
             max_peaks=self.max_peaks,
         )
+        return self._picks_frame(name, scores, coords, shape)
+
+    def _picks_frame(self, name, scores, coords, shape) -> pd.DataFrame:
+        """Border-filter + column mapping shared by pick/_pick_group
+        (identical to train.py:write_scores: x = coords[:, 1])."""
         b = self.border
-        x_max, y_max = hm.shape[0] - b, hm.shape[1] - b
+        x_max, y_max = shape[0] - b, shape[1] - b
         keep = (
             (coords[:, 1] > b) & (coords[:, 1] < x_max)
             & (coords[:, 0] > b) & (coords[:, 0] < y_max)
@@ -130,12 +130,86 @@ class Picker:
         )
 
     def pick_many(self, images: Iterable[ImageLike],
-                  standardize: bool = False) -> pd.DataFrame:
-        """Pick several micrographs; one concatenated DataFrame."""
-        frames = [self.pick(im, standardize=standardize) for im in images]
+                  standardize: bool = False,
+                  batch_size: int = 1) -> pd.DataFrame:
+        """Pick several micrographs; one concatenated DataFrame.
+
+        ``batch_size`` > 1 groups consecutive SAME-SHAPE micrographs into
+        one dense forward + one vmapped NMS program (the evaluator's
+        batched path): the NMS wave fixed costs amortise across the batch
+        and nothing but the pick lists crosses to host.  Results are
+        identical to batch_size=1.
+        """
+        images = list(images)
+        if batch_size <= 1:
+            frames = [self.pick(im, standardize=standardize) for im in images]
+        else:
+            frames = []
+            i = 0
+            while i < len(images):
+                group = [images[i]]
+                first = self._load(images[i], standardize)
+                arrs = [first]
+                while (
+                    len(group) < batch_size and i + len(group) < len(images)
+                ):
+                    nxt = self._load(images[i + len(group)], standardize)
+                    if nxt.shape != first.shape:
+                        break
+                    group.append(images[i + len(group)])
+                    arrs.append(nxt)
+                frames.extend(self._pick_group(group, arrs))
+                i += len(group)
         return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             columns=["image_name", "x_coord", "y_coord", "score"]
         )
+
+    def _load(self, image: ImageLike, standardize: bool) -> np.ndarray:
+        if isinstance(image, str):
+            return load_image(image, standardize=standardize)
+        img = np.ascontiguousarray(image, np.float32)
+        if img.ndim != 2:
+            raise ValueError(f"expected a 2-D micrograph, got {img.shape}")
+        return img
+
+    def _pick_group(self, names_or_imgs, arrs):
+        """One dense forward + one batched NMS over a same-shape group."""
+        import jax
+        import jax.numpy as jnp
+
+        from spr_pick_tpu.ops.nms import nms_batch_to_host
+        from spr_pick_tpu.steps import make_eval_step
+
+        if self._step is None:
+            self._step = make_eval_step(self._ev.denoiser, dense=True)
+        square = not self._ev.denoiser.supports_rect_dense
+        padded = []
+        shape = None
+        for a in arrs:
+            p, shape = pad_to_multiple(a, 32, square=square)
+            padded.append(p)
+        batch = {"inp": jnp.asarray(np.stack(padded)[..., None])}
+        outputs = self._step(
+            self._ev.train_state, batch, jax.random.PRNGKey(self.seed)
+        )
+        if PipelineOutput.DETECT not in outputs:
+            raise ValueError(
+                "checkpoint has no detector head (denoise-only model); "
+                "use .denoise()"
+            )
+        hms = outputs[PipelineOutput.DETECT][:, : shape[0], : shape[1], 0]
+        picks = nms_batch_to_host(
+            hms, self.nms_radius, threshold=self.threshold,
+            max_peaks=self.max_peaks,
+        )
+        frames = []
+        for src, (scores, coords) in zip(names_or_imgs, picks):
+            name = (
+                os.path.splitext(os.path.basename(src))[0]
+                if isinstance(src, str) else "image"
+            )
+            frames.append(self._picks_frame(name, scores, coords, shape))
+        return frames
 
     def denoise(self, image: ImageLike,
                 standardize: bool = False) -> np.ndarray:

@@ -113,9 +113,14 @@ def test_picker_matches_evaluator_scores(tmp_path, rng):
     got_arr = picker.pick(load_image(mic_path), name=got.image_name[0])
     pd.testing.assert_frame_equal(got, got_arr)
 
-    # pick_many concatenates
+    # pick_many concatenates; the batched path (one dense forward + one
+    # vmapped NMS per same-shape group) returns identical picks.
     many = picker.pick_many([mic_path, mic_path])
     assert len(many) == 2 * len(got)
+    many_b = picker.pick_many([mic_path, mic_path], batch_size=2)
+    pd.testing.assert_frame_equal(
+        many.reset_index(drop=True), many_b.reset_index(drop=True)
+    )
 
     # denoise returns the original (unpadded) shape
     den = picker.denoise(mic_path)
