@@ -44,7 +44,8 @@ class Picker:
 
     def __init__(self, checkpoint: str, mode: str = "joint",
                  nms_radius: Optional[int] = None, threshold: float = 0.02,
-                 max_peaks: int = 2048, border: int = 30, seed: int = 0):
+                 max_peaks: Optional[int] = None, border: int = 30,
+                 seed: int = 0):
         # The evaluator owns checkpoint-format dispatch (.training vs .wt)
         # and model reconstruction from the embedded cfg; reuse it as the
         # loader.  No run dir is created: evaluate() is never called and
@@ -57,7 +58,12 @@ class Picker:
             else self._ev.cfg[ConfigValue.NMS]
         )
         self.threshold = float(threshold)
-        self.max_peaks = int(max_peaks)
+        # Default from the checkpoint cfg like the evaluator (train.py uses
+        # cfg MAX_PEAKS) so pick-set parity holds beyond 2048 peaks too.
+        self.max_peaks = int(
+            max_peaks if max_peaks is not None
+            else self._ev.cfg.get(ConfigValue.MAX_PEAKS, 2048)
+        )
         self.border = int(border)
         self.seed = int(seed)
         self._step = None
@@ -76,6 +82,15 @@ class Picker:
             self._step = make_eval_step(self._ev.denoiser, dense=True)
         square = not self._ev.denoiser.supports_rect_dense
         padded, shape = pad_to_multiple(img, 32, square=square)
+        if max(padded.shape) > self._ev.tile_eval_threshold:
+            # Same routing as the evaluator: giant micrographs go through
+            # halo tiling (the whole-image forward would exhaust HBM and
+            # compile a fresh program per size).
+            self._ev._eval_step = self._step
+            outputs = self._ev._evaluate_tiled(
+                {"inp": padded[None, :, :, None]}
+            )
+            return outputs, shape
         outputs = self._step(
             self._ev.train_state,
             {"inp": jnp.asarray(padded[None, :, :, None])},
@@ -146,15 +161,19 @@ class Picker:
         else:
             frames = []
             i = 0
+            carried = None  # shape-mismatched load carried to the next group
             while i < len(images):
-                group = [images[i]]
-                first = self._load(images[i], standardize)
-                arrs = [first]
+                first = carried if carried is not None else self._load(
+                    images[i], standardize
+                )
+                carried = None
+                group, arrs = [images[i]], [first]
                 while (
                     len(group) < batch_size and i + len(group) < len(images)
                 ):
                     nxt = self._load(images[i + len(group)], standardize)
                     if nxt.shape != first.shape:
+                        carried = nxt  # don't decode it twice
                         break
                     group.append(images[i + len(group)])
                     arrs.append(nxt)
@@ -188,6 +207,16 @@ class Picker:
         for a in arrs:
             p, shape = pad_to_multiple(a, 32, square=square)
             padded.append(p)
+        if max(padded[0].shape) > self._ev.tile_eval_threshold:
+            # Giant micrographs: per-image halo tiling (pick() routes
+            # through _forward's tiled path), not one huge batched program.
+            return [
+                self.pick(a, name=(
+                    os.path.splitext(os.path.basename(src))[0]
+                    if isinstance(src, str) else "image"
+                ))
+                for src, a in zip(names_or_imgs, arrs)
+            ]
         batch = {"inp": jnp.asarray(np.stack(padded)[..., None])}
         outputs = self._step(
             self._ev.train_state, batch, jax.random.PRNGKey(self.seed)

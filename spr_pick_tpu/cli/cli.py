@@ -175,6 +175,15 @@ def run_train(args: Dict):
         if args.get("nms") is not None:
             cfg[ConfigValue.NMS] = args["nms"]
         if args.get("noise_input"):
+            if not args["dn_only"]:
+                # Only the denoise data plane (NoisyDataset analog) reads
+                # NOISE_INPUT; silently recording it in a joint run's cfg
+                # would make users believe the switch was active.
+                raise SystemExit(
+                    "--noise_input only applies to denoise-only training "
+                    "(--dn_only): the joint micrograph path adds no "
+                    "synthetic noise"
+                )
             cfg[ConfigValue.NOISE_INPUT] = True
         profile = bool(args.get("profile"))
         if args["dn_only"]:
@@ -219,12 +228,17 @@ def run_eval(args: Dict):
         out = args["export_star"]
         if not os.path.isabs(out):
             out = os.path.join(evaluator.run_dir_path, out)
-        n = convert(
-            os.path.join(evaluator.run_dir_path, "eval_imgs"), out,
-            threshold=args.get("star_threshold", 0.13),
-            scale=args.get("star_scale", 4.0),
-            borders=args.get("star_borders"),
-        )
+        try:
+            n = convert(
+                os.path.join(evaluator.run_dir_path, "eval_imgs"), out,
+                threshold=args.get("star_threshold", 0.13),
+                scale=args.get("star_scale", 4.0),
+                borders=args.get("star_borders"),
+            )
+        except FileNotFoundError as exc:
+            # E.g. a denoise-only model exports no *_scores.txt; don't
+            # traceback after an otherwise-successful eval.
+            raise SystemExit(f"--export_star: {exc}")
         logging.getLogger("cli").info("wrote %d particles to %s", n, out)
 
 

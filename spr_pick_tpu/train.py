@@ -418,215 +418,219 @@ class DenoiserTrainer:
 
         self._stop_requested = False
         _restore_handlers = self._install_stop_handlers()
+        try:
 
-        # Banner AFTER handler installation: once "TRAINING STARTED" is in
-        # the log, a SIGTERM is guaranteed a graceful snapshot-and-stop.
-        logger.info(separator())
-        logger.info("TRAINING STARTED")
-        logger.info(separator())
+            # Banner AFTER handler installation: once "TRAINING STARTED" is in
+            # the log, a SIGTERM is guaranteed a graceful snapshot-and-stop.
+            logger.info(separator())
+            logger.info("TRAINING STARTED")
+            logger.info(separator())
 
-        if self._train_step is None:
-            self._train_step = make_train_step(self.denoiser, self.alpha, self.tau)
-        if self._train_scan is None and isinstance(
-            self.patch_pipeline, DevicePatchPipeline
-        ):
-            from spr_pick_tpu.steps import make_train_scan
-
-            self._train_scan = make_train_scan(
-                self.denoiser, self.alpha, self.tau,
-                crop=self.cfg[ConfigValue.TRAIN_PATCH_SIZE],
-            )
-        from spr_pick_tpu.data.patches import DeviceDenoisePipeline
-
-        if self._denoise_scan is None and isinstance(
-            self.patch_pipeline, DeviceDenoisePipeline
-        ):
-            self._denoise_scan = self._build_denoise_scan()
-
-        history = self.state[StateValue.HISTORY]
-        batch_size = self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE]
-        # Metrics stay ON DEVICE between print intervals: forcing them to
-        # host every step would serialize the async dispatch chain (a
-        # ~30 ms/step stall measured over the device transport vs ~9 ms of
-        # actual step compute at batch 4).
-        pending_metrics = []
-
-        # Optional profiler capture of the first print window (jax trace,
-        # viewable in TensorBoard/Perfetto).  SURVEY.md §5: the reference has
-        # no profiling surface; here it is a first-class flag.
-        profiling = False
-        if self.profile:
-            jax.profiler.start_trace(os.path.join(self.run_dir_path, "profile"))
-            profiling = True
-
-        while True:
-            iteration = self.state[StateValue.ITERATION]
-
-            if self._stop_requested:
-                # Graceful preemption: flush, snapshot (resumable), return.
-                # Deliberately NO final-{config}.wt — that file means the
-                # run COMPLETED; `train resume` picks up the .training.
-                self._flush_metrics(pending_metrics, batch_size)
-                if profiling:
-                    jax.profiler.stop_trace()
-                self.snapshot()
-                _restore_handlers()
-                logger.info(separator())
-                logger.info(
-                    "TRAINING STOPPED at iteration %d (signal) - resume "
-                    "with `train resume %s`", iteration, self.run_dir_path,
-                )
-                logger.info(separator())
-                return
-
-            if (
-                iteration % self.cfg[ConfigValue.EVAL_INTERVAL] == 0
-                and self.testset is not None
+            if self._train_step is None:
+                self._train_step = make_train_step(self.denoiser, self.alpha, self.tau)
+            if self._train_scan is None and isinstance(
+                self.patch_pipeline, DevicePatchPipeline
             ):
-                self._flush_metrics(pending_metrics, batch_size)
-                self._evaluate(output_callback=self.validation_output_callback(0))
-            if iteration % self.cfg[ConfigValue.PRINT_INTERVAL] == 0:
-                self._flush_metrics(pending_metrics, batch_size)
-                if profiling and iteration > 0:
-                    jax.profiler.stop_trace()
-                    profiling = False
-                    logger.info("profiler trace written to %s",
-                                os.path.join(self.run_dir_path, "profile"))
-                history[HistoryValue.TIMINGS]["total"].update()
-                last_print = history[HistoryValue.TIMINGS]["last_print"]
-                last_print.update()
-                samples = (
-                    history[HistoryValue.EVAL]["n"] + history[HistoryValue.TRAIN]["n"]
-                )
-                self.update_eta(samples, last_print.total)
-                logger.info(self.state_str(eval_prefix="VALID"))
-                self.write_metrics(eval_prefix="valid")
-                last_print.total = 0
-                self.reset_metrics()
-            if iteration % self.cfg[ConfigValue.SNAPSHOT_INTERVAL] == 0:
-                self._flush_metrics(pending_metrics, batch_size)
-                self.snapshot()
+                from spr_pick_tpu.steps import make_train_scan
 
-            if iteration >= self.cfg[ConfigValue.ITERATIONS]:
-                break
-
-            k_steps = self._chunk_steps(iteration, batch_size)
-            if k_steps > 1 and self._can_scan():
-                # Scan-chunked fast path: K steps + gather in ONE program.
-                k = k_steps
-                packed = self.train_sampler.sample_batch(k * batch_size)
-                flat, ys, xs = self.patch_pipeline.decode(
-                    packed.reshape(k, batch_size)
+                self._train_scan = make_train_scan(
+                    self.denoiser, self.alpha, self.tau,
+                    crop=self.cfg[ConfigValue.TRAIN_PATCH_SIZE],
                 )
-                self.patch_pipeline.check_in_bounds(flat, ys, xs)
-                lrs = self._scan_lrs(iteration, k, batch_size)
-                flat, ys, xs = jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs)
+            from spr_pick_tpu.data.patches import DeviceDenoisePipeline
+
+            if self._denoise_scan is None and isinstance(
+                self.patch_pipeline, DeviceDenoisePipeline
+            ):
+                self._denoise_scan = self._build_denoise_scan()
+
+            history = self.state[StateValue.HISTORY]
+            batch_size = self.cfg[ConfigValue.TRAIN_MINIBATCH_SIZE]
+            # Metrics stay ON DEVICE between print intervals: forcing them to
+            # host every step would serialize the async dispatch chain (a
+            # ~30 ms/step stall measured over the device transport vs ~9 ms of
+            # actual step compute at batch 4).
+            pending_metrics = []
+
+            # Optional profiler capture of the first print window (jax trace,
+            # viewable in TensorBoard/Perfetto).  SURVEY.md §5: the reference has
+            # no profiling surface; here it is a first-class flag.
+            profiling = False
+            if self.profile:
+                jax.profiler.start_trace(os.path.join(self.run_dir_path, "profile"))
+                profiling = True
+
+            while True:
+                iteration = self.state[StateValue.ITERATION]
+
+                if self._stop_requested:
+                    # Graceful preemption: flush, snapshot (resumable), return.
+                    # Deliberately NO final-{config}.wt — that file means the
+                    # run COMPLETED; `train resume` picks up the .training.
+                    self._flush_metrics(pending_metrics, batch_size)
+                    if profiling:
+                        jax.profiler.stop_trace()
+                    self.snapshot()
+                    logger.info(separator())
+                    logger.info(
+                        "TRAINING STOPPED at iteration %d (signal) - resume "
+                        "with `train resume %s`", iteration, self.run_dir_path,
+                    )
+                    logger.info(separator())
+                    return
+
+                if (
+                    iteration % self.cfg[ConfigValue.EVAL_INTERVAL] == 0
+                    and self.testset is not None
+                ):
+                    self._flush_metrics(pending_metrics, batch_size)
+                    self._evaluate(output_callback=self.validation_output_callback(0))
+                if iteration % self.cfg[ConfigValue.PRINT_INTERVAL] == 0:
+                    self._flush_metrics(pending_metrics, batch_size)
+                    if profiling and iteration > 0:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        logger.info("profiler trace written to %s",
+                                    os.path.join(self.run_dir_path, "profile"))
+                    history[HistoryValue.TIMINGS]["total"].update()
+                    last_print = history[HistoryValue.TIMINGS]["last_print"]
+                    last_print.update()
+                    samples = (
+                        history[HistoryValue.EVAL]["n"] + history[HistoryValue.TRAIN]["n"]
+                    )
+                    self.update_eta(samples, last_print.total)
+                    logger.info(self.state_str(eval_prefix="VALID"))
+                    self.write_metrics(eval_prefix="valid")
+                    last_print.total = 0
+                    self.reset_metrics()
+                if iteration % self.cfg[ConfigValue.SNAPSHOT_INTERVAL] == 0:
+                    self._flush_metrics(pending_metrics, batch_size)
+                    self.snapshot()
+
+                if iteration >= self.cfg[ConfigValue.ITERATIONS]:
+                    break
+
+                k_steps = self._chunk_steps(iteration, batch_size)
+                if k_steps > 1 and self._can_scan():
+                    # Scan-chunked fast path: K steps + gather in ONE program.
+                    k = k_steps
+                    packed = self.train_sampler.sample_batch(k * batch_size)
+                    flat, ys, xs = self.patch_pipeline.decode(
+                        packed.reshape(k, batch_size)
+                    )
+                    self.patch_pipeline.check_in_bounds(flat, ys, xs)
+                    lrs = self._scan_lrs(iteration, k, batch_size)
+                    flat, ys, xs = jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs)
+                    rng = self._next_rng()
+                    images_dev = self.patch_pipeline.images_dev
+                    hms_dev = self.patch_pipeline.hms_dev
+                    if self.mesh is not None:
+                        from spr_pick_tpu.parallel.mesh import (
+                            replicate,
+                            shard_scan_indices,
+                        )
+
+                        (flat, ys, xs) = shard_scan_indices(
+                            (flat, ys, xs), self.mesh
+                        )
+                        lrs, rng = replicate((lrs, rng), self.mesh)
+                        if not self._scan_stacks_replicated:
+                            # One-time: pin the micrograph/heatmap stacks
+                            # replicated on every chip.
+                            self.patch_pipeline.images_dev = replicate(
+                                images_dev, self.mesh
+                            )
+                            self.patch_pipeline.hms_dev = replicate(
+                                hms_dev, self.mesh
+                            )
+                            images_dev = self.patch_pipeline.images_dev
+                            hms_dev = self.patch_pipeline.hms_dev
+                            self._scan_stacks_replicated = True
+                    self.train_state, metrics = self._train_scan(
+                        self.train_state,
+                        images_dev,
+                        hms_dev,
+                        flat, ys, xs,
+                        lrs, rng,
+                    )
+                    pending_metrics.append((metrics, k))
+                    self.state[StateValue.ITERATION] += k * batch_size
+                    continue
+
+                if k_steps > 1 and self._can_scan_denoise():
+                    # Denoise-only scan fast path: crop gather + noise synth /
+                    # UPS masking + K updates in ONE program.
+                    k = k_steps
+                    flat, ys, xs = self.patch_pipeline.sample_coords(
+                        (k, batch_size)
+                    )
+                    lrs = self._scan_lrs(iteration, k, batch_size)
+                    flat, ys, xs = jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs)
+                    rng = self._next_rng()
+                    images_dev = self.patch_pipeline.images_dev
+                    if self.mesh is not None:
+                        from spr_pick_tpu.parallel.mesh import (
+                            replicate,
+                            shard_scan_indices,
+                        )
+
+                        (flat, ys, xs) = shard_scan_indices(
+                            (flat, ys, xs), self.mesh
+                        )
+                        lrs, rng = replicate((lrs, rng), self.mesh)
+                        if not self._scan_stacks_replicated:
+                            self.patch_pipeline.images_dev = replicate(
+                                images_dev, self.mesh
+                            )
+                            images_dev = self.patch_pipeline.images_dev
+                            self._scan_stacks_replicated = True
+                    self.train_state, metrics = self._denoise_scan(
+                        self.train_state, images_dev, flat, ys, xs, lrs, rng
+                    )
+                    pending_metrics.append((metrics, k))
+                    self.state[StateValue.ITERATION] += k * batch_size
+                    continue
+
+                if self.train_sampler is not None:
+                    batch = self.patch_pipeline.batch(
+                        self.train_sampler.sample_batch(batch_size)
+                    )
+                else:
+                    batch = self.patch_pipeline.batch(batch_size)
+                lr = jnp.float32(self.learning_rate)
                 rng = self._next_rng()
-                images_dev = self.patch_pipeline.images_dev
-                hms_dev = self.patch_pipeline.hms_dev
                 if self.mesh is not None:
-                    from spr_pick_tpu.parallel.mesh import (
-                        replicate,
-                        shard_scan_indices,
-                    )
+                    from spr_pick_tpu.parallel.mesh import replicate, shard_batch
 
-                    (flat, ys, xs) = shard_scan_indices(
-                        (flat, ys, xs), self.mesh
-                    )
-                    lrs, rng = replicate((lrs, rng), self.mesh)
-                    if not self._scan_stacks_replicated:
-                        # One-time: pin the micrograph/heatmap stacks
-                        # replicated on every chip.
-                        self.patch_pipeline.images_dev = replicate(
-                            images_dev, self.mesh
-                        )
-                        self.patch_pipeline.hms_dev = replicate(
-                            hms_dev, self.mesh
-                        )
-                        images_dev = self.patch_pipeline.images_dev
-                        hms_dev = self.patch_pipeline.hms_dev
-                        self._scan_stacks_replicated = True
-                self.train_state, metrics = self._train_scan(
-                    self.train_state,
-                    images_dev,
-                    hms_dev,
-                    flat, ys, xs,
-                    lrs, rng,
+                    batch = shard_batch(batch, self.mesh)
+                    rng = replicate(rng, self.mesh)
+                    lr = replicate(lr, self.mesh)
+                self.train_state, metrics = self._train_step(
+                    self.train_state, batch, rng, lr
                 )
-                pending_metrics.append((metrics, k))
-                self.state[StateValue.ITERATION] += k * batch_size
-                continue
+                pending_metrics.append((metrics, 1))
 
-            if k_steps > 1 and self._can_scan_denoise():
-                # Denoise-only scan fast path: crop gather + noise synth /
-                # UPS masking + K updates in ONE program.
-                k = k_steps
-                flat, ys, xs = self.patch_pipeline.sample_coords(
-                    (k, batch_size)
-                )
-                lrs = self._scan_lrs(iteration, k, batch_size)
-                flat, ys, xs = jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs)
-                rng = self._next_rng()
-                images_dev = self.patch_pipeline.images_dev
-                if self.mesh is not None:
-                    from spr_pick_tpu.parallel.mesh import (
-                        replicate,
-                        shard_scan_indices,
-                    )
+                self.state[StateValue.ITERATION] += batch_size
 
-                    (flat, ys, xs) = shard_scan_indices(
-                        (flat, ys, xs), self.mesh
-                    )
-                    lrs, rng = replicate((lrs, rng), self.mesh)
-                    if not self._scan_stacks_replicated:
-                        self.patch_pipeline.images_dev = replicate(
-                            images_dev, self.mesh
-                        )
-                        images_dev = self.patch_pipeline.images_dev
-                        self._scan_stacks_replicated = True
-                self.train_state, metrics = self._denoise_scan(
-                    self.train_state, images_dev, flat, ys, xs, lrs, rng
-                )
-                pending_metrics.append((metrics, k))
-                self.state[StateValue.ITERATION] += k * batch_size
-                continue
+            self._flush_metrics(pending_metrics, batch_size)
+            if profiling:
+                jax.profiler.stop_trace()
 
-            if self.train_sampler is not None:
-                batch = self.patch_pipeline.batch(
-                    self.train_sampler.sample_batch(batch_size)
-                )
-            else:
-                batch = self.patch_pipeline.batch(batch_size)
-            lr = jnp.float32(self.learning_rate)
-            rng = self._next_rng()
-            if self.mesh is not None:
-                from spr_pick_tpu.parallel.mesh import replicate, shard_batch
+            logger.info(separator())
+            logger.info("TRAINING FINISHED")
+            logger.info(separator())
 
-                batch = shard_batch(batch, self.mesh)
-                rng = replicate(rng, self.mesh)
-                lr = replicate(lr, self.mesh)
-            self.train_state, metrics = self._train_step(
-                self.train_state, batch, rng, lr
+            self.snapshot()
+            self.snapshot(
+                output_name="final-{}.wt".format(self.config_name()),
+                subdir="",
+                model_only=True,
             )
-            pending_metrics.append((metrics, 1))
-
-            self.state[StateValue.ITERATION] += batch_size
-
-        self._flush_metrics(pending_metrics, batch_size)
-        if profiling:
-            jax.profiler.stop_trace()
-        _restore_handlers()
-
-        logger.info(separator())
-        logger.info("TRAINING FINISHED")
-        logger.info(separator())
-
-        self.snapshot()
-        self.snapshot(
-            output_name="final-{}.wt".format(self.config_name()),
-            subdir="",
-            model_only=True,
-        )
+        finally:
+            # Exceptions (incl. the handler's own KeyboardInterrupt)
+            # must not leave process-wide handlers bound to a dead
+            # trainer: restore unconditionally.
+            _restore_handlers()
 
     def _chunk_steps(self, iteration: int, batch_size: int) -> int:
         """Steps until the next eval/print/snapshot/end boundary."""

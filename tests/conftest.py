@@ -27,11 +27,20 @@ def _default_backend_alive() -> bool:
     red for reasons unrelated to the code.  A subprocess probe is the only
     safe check: an in-process ``jax.devices()`` can hang unrecoverably.
     """
-    plat = os.environ.get("JAX_PLATFORMS", "")
-    if plat and not any(p in plat for p in ("axon", "tpu")):
-        return True  # explicitly non-TPU (e.g. cpu): no probe, no fallback
-    from spr_pick_tpu.utils.cpuforce import default_backend_alive
+    from spr_pick_tpu.utils.cpuforce import _PLUGIN_TRIGGER_VARS, \
+        default_backend_alive
 
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if (
+        plat
+        and not any(p in plat for p in ("axon", "tpu"))
+        and not any(os.environ.get(v) for v in _PLUGIN_TRIGGER_VARS)
+    ):
+        # Genuinely non-TPU: env asks for e.g. cpu AND no sitecustomize
+        # trigger vars that would override it in-process.  (JAX_PLATFORMS
+        # alone is NOT trustworthy here — the sitecustomize re-selects the
+        # TPU platform via jax.config.update regardless of the env var.)
+        return True
     return default_backend_alive(
         timeout=float(os.environ.get("SPR_TPU_PROBE_TIMEOUT", "75"))
     )

@@ -122,6 +122,15 @@ def test_picker_matches_evaluator_scores(tmp_path, rng):
         many.reset_index(drop=True), many_b.reset_index(drop=True)
     )
 
+    # max_peaks defaults from the checkpoint cfg like the evaluator.
+    assert picker.max_peaks == ev.cfg[ConfigValue.MAX_PEAKS]
+
+    # Mixed shapes split into separate groups (the 256^2 array cannot batch
+    # with the 384^2 micrograph; the boundary image is decoded only once).
+    small = rng.rand(256, 256).astype(np.float32)
+    mixed = picker.pick_many([mic_path, small], batch_size=2)
+    assert set(mixed.image_name) <= {got.image_name[0], "image"}
+
     # denoise returns the original (unpadded) shape
     den = picker.denoise(mic_path)
     assert den.shape == (img_h, img_w)

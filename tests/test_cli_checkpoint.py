@@ -92,3 +92,18 @@ def test_find_latest_training(tmp_path):
     assert path.endswith("model_00005000.training")
     with pytest.raises(ValueError):
         ckpt.find_latest_training(str(tmp_path), "training_dn")
+
+
+def test_cli_noise_input_requires_dn_only():
+    """--noise_input is a denoise-data-plane switch (NoisyDataset analog);
+    the joint micrograph path adds no synthetic noise, so accepting the
+    flag there would silently do nothing."""
+    from spr_pick_tpu.cli.cli import run_train
+
+    args = {
+        "train_cmd": "start", "algorithm": "n2c", "noise_value": None,
+        "noise_style": "gauss25", "dn_only": False, "runs_dir": "x",
+        "alpha": 0.5, "tau": 0.01, "noise_input": True,
+    }
+    with pytest.raises(SystemExit, match="dn_only"):
+        run_train(args)

@@ -121,3 +121,44 @@ def test_sigterm_snapshots_and_stops(tmp_path, rng, subprocess_jax_env):
     assert snaps, "no resumable snapshot written on SIGTERM"
     # final-*.wt means the run COMPLETED; it must not exist here.
     assert not [f for f in os.listdir(run_dir) if f.endswith(".wt")]
+
+
+def test_stop_handlers_restored_on_exception(tmp_path, rng, monkeypatch):
+    """train() must restore process-wide signal handlers even when the loop
+    raises (the try/finally path) — otherwise the next Ctrl-C in the
+    process is swallowed by a handler bound to a dead trainer."""
+    import spr_pick_tpu.train as train_mod
+    from spr_pick_tpu.data import mrc
+    from tests.test_e2e import make_synthetic_dataset
+
+    images_txt, coords_txt = make_synthetic_dataset(tmp_path, rng, n_images=1)
+
+    from spr_pick_tpu import cfg as cfg_mod
+    from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm, NoiseValue
+
+    cfg = cfg_mod.base()
+    cfg[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    cfg[ConfigValue.NOISE_STYLE] = "gauss"
+    cfg[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
+    cfg[ConfigValue.ITERATIONS] = 8
+    trainer = train_mod.DenoiserTrainer(
+        cfg, mode="joint", alpha=0.75, tau=0.05,
+        runs_dir=str(tmp_path / "runs"),
+    )
+    trainer.set_train_data(images_txt)
+    trainer.set_train_label(coords_txt)
+
+    prev_term = signal.getsignal(signal.SIGTERM)
+    prev_int = signal.getsignal(signal.SIGINT)
+
+    # Raise AFTER the handlers are installed (first thing inside the try is
+    # the banner, then the step builders).
+    def boom(*a, **k):
+        raise RuntimeError("synthetic failure inside the train loop")
+
+    monkeypatch.setattr(train_mod, "make_train_step", boom)
+    with pytest.raises(RuntimeError, match="synthetic failure"):
+        trainer.train()
+
+    assert signal.getsignal(signal.SIGTERM) is prev_term
+    assert signal.getsignal(signal.SIGINT) is prev_int

@@ -123,3 +123,28 @@ def test_run_eval_exports_star(tmp_path, monkeypatch):
     with open(out) as f:
         table = star.parse(f)
     assert list(table[star.X_COLUMN_NAME]) == [20]
+
+
+def test_run_eval_export_star_clean_error_when_no_scores(tmp_path, monkeypatch):
+    """A run that produced no *_scores.txt (e.g. denoise-only model) must
+    exit with a clear message, not an unhandled traceback after eval."""
+    from spr_pick_tpu.cli import cli as cli_mod
+
+    run_dir = tmp_path / "00000-eval-x"
+    (run_dir / "eval_imgs").mkdir(parents=True)
+
+    class StubEvaluator:
+        run_dir_path = str(run_dir)
+
+        def __init__(self, *a, **k):
+            pass
+
+        def set_test_data(self, *_):
+            pass
+
+        def evaluate(self):
+            pass
+
+    monkeypatch.setattr("spr_pick_tpu.eval.DenoiserEvaluator", StubEvaluator)
+    with pytest.raises(SystemExit, match="export_star"):
+        cli_mod.start(["eval", "-m", "m.wt", "-d", "i.txt", "--export_star"])
