@@ -107,10 +107,7 @@ class Picker:
         from spr_pick_tpu.ops.nms import nms_to_host
 
         if name is None:
-            name = (
-                os.path.splitext(os.path.basename(image))[0]
-                if isinstance(image, str) else "image"
-            )
+            name = self._name_for(image)
         outputs, shape = self._forward(image, standardize=standardize)
         if PipelineOutput.DETECT not in outputs:
             raise ValueError(
@@ -146,7 +143,8 @@ class Picker:
 
     def pick_many(self, images: Iterable[ImageLike],
                   standardize: bool = False,
-                  batch_size: int = 1) -> pd.DataFrame:
+                  batch_size: int = 1,
+                  names: Optional[Iterable[str]] = None) -> pd.DataFrame:
         """Pick several micrographs; one concatenated DataFrame.
 
         ``batch_size`` > 1 groups consecutive SAME-SHAPE micrographs into
@@ -154,10 +152,24 @@ class Picker:
         batched path): the NMS wave fixed costs amortise across the batch
         and nothing but the pick lists crosses to host.  Results are
         identical to batch_size=1.
+
+        ``names``: optional per-image output names (e.g. from a manifest's
+        image_name column); defaults to each path's basename.
         """
         images = list(images)
+        if names is None:
+            names = [self._name_for(im) for im in images]
+        else:
+            names = list(names)
+            if len(names) != len(images):
+                raise ValueError(
+                    f"{len(names)} names for {len(images)} images"
+                )
         if batch_size <= 1:
-            frames = [self.pick(im, standardize=standardize) for im in images]
+            frames = [
+                self.pick(im, name=nm, standardize=standardize)
+                for im, nm in zip(images, names)
+            ]
         else:
             frames = []
             i = 0
@@ -167,7 +179,7 @@ class Picker:
                     images[i], standardize
                 )
                 carried = None
-                group, arrs = [images[i]], [first]
+                group, arrs = [names[i]], [first]
                 while (
                     len(group) < batch_size and i + len(group) < len(images)
                 ):
@@ -175,12 +187,19 @@ class Picker:
                     if nxt.shape != first.shape:
                         carried = nxt  # don't decode it twice
                         break
-                    group.append(images[i + len(group)])
+                    group.append(names[i + len(group)])
                     arrs.append(nxt)
                 frames.extend(self._pick_group(group, arrs))
                 i += len(group)
         return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             columns=["image_name", "x_coord", "y_coord", "score"]
+        )
+
+    @staticmethod
+    def _name_for(image: ImageLike) -> str:
+        return (
+            os.path.splitext(os.path.basename(image))[0]
+            if isinstance(image, str) else "image"
         )
 
     def _load(self, image: ImageLike, standardize: bool) -> np.ndarray:
@@ -191,8 +210,11 @@ class Picker:
             raise ValueError(f"expected a 2-D micrograph, got {img.shape}")
         return img
 
-    def _pick_group(self, names_or_imgs, arrs):
-        """One dense forward + one batched NMS over a same-shape group."""
+    def _pick_group(self, names, arrs):
+        """One dense forward + one batched NMS over a same-shape group.
+
+        ``names``: output name per array (already resolved by pick_many).
+        """
         import jax
         import jax.numpy as jnp
 
@@ -211,11 +233,7 @@ class Picker:
             # Giant micrographs: per-image halo tiling (pick() routes
             # through _forward's tiled path), not one huge batched program.
             return [
-                self.pick(a, name=(
-                    os.path.splitext(os.path.basename(src))[0]
-                    if isinstance(src, str) else "image"
-                ))
-                for src, a in zip(names_or_imgs, arrs)
+                self.pick(a, name=nm) for nm, a in zip(names, arrs)
             ]
         batch = {"inp": jnp.asarray(np.stack(padded)[..., None])}
         outputs = self._step(
@@ -232,11 +250,7 @@ class Picker:
             max_peaks=self.max_peaks,
         )
         frames = []
-        for src, (scores, coords) in zip(names_or_imgs, picks):
-            name = (
-                os.path.splitext(os.path.basename(src))[0]
-                if isinstance(src, str) else "image"
-            )
+        for name, (scores, coords) in zip(names, picks):
             frames.append(self._picks_frame(name, scores, coords, shape))
         return frames
 
@@ -244,6 +258,34 @@ class Picker:
                 standardize: bool = False) -> np.ndarray:
         """Denoise one micrograph -> float32 H,W (original shape)."""
         outputs, shape = self._forward(image, standardize=standardize)
+        return self._denoised(outputs, shape)
+
+    def process(self, image: ImageLike, name: Optional[str] = None,
+                standardize: bool = False):
+        """ONE dense forward -> (picks DataFrame, denoised float32 H,W).
+
+        Same results as pick() + denoise() at half the compute; picks is
+        None for denoise-only checkpoints (no detector head).
+        """
+        from spr_pick_tpu.ops.nms import nms_to_host
+
+        if name is None:
+            name = self._name_for(image)
+        outputs, shape = self._forward(image, standardize=standardize)
+        den = self._denoised(outputs, shape)
+        if PipelineOutput.DETECT not in outputs:
+            return None, den
+        hm = np.asarray(outputs[PipelineOutput.DETECT])[
+            0, : shape[0], : shape[1], 0
+        ]
+        scores, coords = nms_to_host(
+            hm, self.nms_radius, threshold=self.threshold,
+            max_peaks=self.max_peaks,
+        )
+        return self._picks_frame(name, scores, coords, shape), den
+
+    @staticmethod
+    def _denoised(outputs, shape) -> np.ndarray:
         key = (
             PipelineOutput.IMG_DENOISED
             if PipelineOutput.IMG_DENOISED in outputs

@@ -120,6 +120,54 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar=("XMIN", "XMAX", "YMIN", "YMAX"),
                     help="Keep-window for --export_star, applied after "
                     "scaling (reference run used 15 1425 15 1009)")
+
+    # --- pick (programmatic Picker as a command; no run dirs) ---
+    pick = sub.add_parser(
+        "pick",
+        help="Pick (and/or denoise) micrographs straight to a picks "
+        "table — no run directories, no eval artifacts",
+    )
+    pick.add_argument("--model", "-m", required=True,
+                      help=".training or .wt checkpoint")
+    pick.add_argument(
+        "images", nargs="+",
+        help="Micrograph paths, directories (searched recursively for "
+        "images), and/or TSV manifests (image_name<TAB>path)",
+    )
+    pick.add_argument(
+        "--output", "-o", default="picks.txt",
+        help="Picks output: *_scores.txt-schema TSV, a RELION .star "
+        "(by extension), or '-' for TSV on stdout (default picks.txt)",
+    )
+    pick.add_argument("--nms", type=int,
+                      help="NMS radius (default: checkpoint cfg)")
+    pick.add_argument("--threshold", type=float, default=0.02,
+                      help="Heatmap score floor (default 0.02)")
+    pick.add_argument("--border", type=int, default=30,
+                      help="Edge exclusion in px (default 30; 0 keeps edge picks)")
+    pick.add_argument("--max_peaks", type=int,
+                      help="Pick cap per micrograph (default: checkpoint cfg)")
+    pick.add_argument("--batch_size", type=int, default=4,
+                      help="Same-shape micrographs per dense forward (default 4)")
+    pick.add_argument("--standardize", action="store_true",
+                      help="Header-based MRC normalisation at load")
+    pick.add_argument("--seed", type=int, default=0)
+    pick.add_argument(
+        "--denoise_dir", metavar="DIR",
+        help="Also write the denoised micrographs into DIR (picks and "
+        "denoised come from the same forward)",
+    )
+    pick.add_argument("--denoise_format", choices=["mrc", "png"],
+                      default="mrc",
+                      help="Denoised output format (mrc: float32 data; "
+                      "png: min-max 8-bit view)")
+    pick.add_argument("--star_threshold", type=float, default=0.13,
+                      help="Score threshold for .star outputs")
+    pick.add_argument("--star_scale", type=float, default=4.0,
+                      help="Coordinate upscale for .star outputs")
+    pick.add_argument("--star_borders", type=int, nargs=4, default=None,
+                      metavar=("XMIN", "XMAX", "YMIN", "YMAX"),
+                      help="Keep-window for .star outputs, applied after scaling")
     return parser
 
 
@@ -242,6 +290,126 @@ def run_eval(args: Dict):
         logging.getLogger("cli").info("wrote %d particles to %s", n, out)
 
 
+def _expand_pick_inputs(items: List[str]):
+    """Expand the `joint pick` positional inputs.
+
+    Each item is a micrograph path, a directory (searched recursively for
+    image files), or a TSV manifest with a `path` column (names taken from
+    `image_name` when present, matching generate_train_files.py output).
+    Returns aligned (paths, names).
+    """
+    import pandas as pd
+
+    from spr_pick_tpu.api import Picker
+    from spr_pick_tpu.data.folder import find_images
+
+    paths: List[str] = []
+    names: List[Optional[str]] = []
+    for item in items:
+        if os.path.isdir(item):
+            found = sorted(find_images(item))
+            if not found:
+                raise SystemExit(f"pick: no images found under {item}")
+            paths.extend(found)
+            names.extend([None] * len(found))
+        elif item.lower().endswith((".txt", ".tsv", ".tab")):
+            table = pd.read_csv(item, sep="\t")
+            if "path" not in table.columns:
+                raise SystemExit(
+                    f"pick: manifest {item} has no 'path' column "
+                    "(expected image_name<TAB>path)"
+                )
+            # Paths are used verbatim (absolute or cwd-relative) — the
+            # same semantics as the trainer's manifest loader.
+            for _, row in table.iterrows():
+                paths.append(str(row["path"]))
+                names.append(
+                    str(row["image_name"])
+                    if "image_name" in table.columns else None
+                )
+        else:
+            paths.append(item)
+            names.append(None)
+    names = [
+        nm if nm is not None else Picker._name_for(p)
+        for nm, p in zip(names, paths)
+    ]
+    return paths, names
+
+
+def run_pick(args: Dict):
+    from spr_pick_tpu.api import Picker
+    from spr_pick_tpu.utils import logging_helper
+
+    logging_helper.setup()
+    log = logging.getLogger("cli")
+    paths, names = _expand_pick_inputs(args["images"])
+    picker = Picker(
+        args["model"],
+        nms_radius=args.get("nms"),
+        threshold=args["threshold"],
+        max_peaks=args.get("max_peaks"),
+        border=args["border"],
+        seed=args["seed"],
+    )
+
+    if args.get("denoise_dir"):
+        # One forward per micrograph yields BOTH the picks and the
+        # denoised image (Picker.process) — no second pass.
+        import pandas as pd
+
+        ddir = args["denoise_dir"]
+        os.makedirs(ddir, exist_ok=True)
+        frames = []
+        for path, name in zip(paths, names):
+            picks, den = picker.process(
+                path, name=name, standardize=args["standardize"]
+            )
+            if picks is not None:
+                frames.append(picks)
+            out_path = os.path.join(ddir, f"{name}.{args['denoise_format']}")
+            if args["denoise_format"] == "mrc":
+                from spr_pick_tpu.data import mrc
+
+                mrc.write(out_path, den)
+            else:
+                from spr_pick_tpu.utils.image_io import save_array_image
+
+                save_array_image(den, out_path)
+        log.info("wrote %d denoised micrographs to %s", len(paths), ddir)
+        if not frames:
+            log.warning(
+                "skipping picks: checkpoint has no detector head "
+                "(denoise-only model)"
+            )
+            return
+        table = pd.concat(frames, ignore_index=True)
+    else:
+        try:
+            table = picker.pick_many(
+                paths, names=names, standardize=args["standardize"],
+                batch_size=args["batch_size"],
+            )
+        except ValueError as exc:
+            raise SystemExit(f"pick: {exc}")
+
+    out = args["output"]
+    if out == "-":
+        table.to_csv(sys.stdout, sep="\t", index=False)
+    elif out.lower().endswith(".star"):
+        from spr_pick_tpu.data.star_export import frame_to_star
+
+        n = frame_to_star(
+            table, out, threshold=args["star_threshold"],
+            scale=args["star_scale"], borders=args.get("star_borders"),
+        )
+        log.info("wrote %d particles (of %d picks) to %s",
+                 n, len(table), out)
+    else:
+        table.to_csv(out, sep="\t", index=False)
+        log.info("wrote %d picks to %s", len(table), out)
+
+
 def start(argv: Optional[List[str]] = None):
     parser = build_parser()
     args = vars(parser.parse_args(argv))
@@ -249,6 +417,8 @@ def start(argv: Optional[List[str]] = None):
         run_train(args)
     elif args["command"] == "eval":
         run_eval(args)
+    elif args["command"] == "pick":
+        run_pick(args)
 
 
 if __name__ == "__main__":

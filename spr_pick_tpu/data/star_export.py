@@ -30,8 +30,18 @@ def convert(scores_dir: str, output: str, threshold: float = 0.13,
         frames.append(pd.read_csv(path, sep="\t"))
     if not frames:
         raise FileNotFoundError(f"no *_scores.txt files found in {scores_dir}")
-    table = pd.concat(frames, ignore_index=True)
+    return frame_to_star(
+        pd.concat(frames, ignore_index=True), output,
+        threshold=threshold, scale=scale, borders=borders,
+    )
 
+
+def frame_to_star(table: pd.DataFrame, output: str, threshold: float = 0.13,
+                  scale: float = 4.0, borders=None) -> int:
+    """Same star conversion, from an in-memory picks table
+    (image_name/x_coord/y_coord/score — the `_scores.txt` schema, as
+    produced by :meth:`spr_pick_tpu.api.Picker.pick_many`)."""
+    table = table.copy()
     table = table[table["score"] > threshold]
     table["x_coord"] = (table["x_coord"] * scale).astype(int)
     table["y_coord"] = (table["y_coord"] * scale).astype(int)

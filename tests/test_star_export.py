@@ -66,6 +66,31 @@ def test_convert_missing_scores_raises(tmp_path):
         convert(str(tmp_path), str(tmp_path / "o.star"))
 
 
+def test_frame_to_star_matches_convert(tmp_path):
+    """The in-memory entry point (used by `joint pick`) is the same
+    conversion as the scores-dir reader, and does not mutate its input."""
+    import pandas as pd
+
+    from spr_pick_tpu.data.star_export import frame_to_star
+
+    rows = [("mic0", 10, 20, 0.5), ("mic0", 30, 40, 0.10), ("mic1", 7, 9, 0.99)]
+    _write_scores(tmp_path / "a_scores.txt", rows)
+    out_dir = str(tmp_path / "via_dir.star")
+    n_dir = convert(str(tmp_path), out_dir)
+
+    table = pd.DataFrame(
+        rows, columns=["image_name", "x_coord", "y_coord", "score"]
+    )
+    before = table.copy()
+    out_mem = str(tmp_path / "via_frame.star")
+    n_mem = frame_to_star(table, out_mem)
+    pd.testing.assert_frame_equal(table, before)  # input untouched
+
+    assert n_mem == n_dir == 2
+    with open(out_dir) as f1, open(out_mem) as f2:
+        assert f1.read() == f2.read()
+
+
 def test_eval_parser_accepts_export_star():
     from spr_pick_tpu.cli.cli import build_parser
 
