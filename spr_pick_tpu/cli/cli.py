@@ -24,7 +24,7 @@ def _add_shared_args(parser: argparse.ArgumentParser, start: bool):
                         help="Path to training dataset (TXT manifest / folder / h5).")
     parser.add_argument("--alpha", "-ap", type=float, required=start,
                         help="alpha value (denoise-vs-detect blend)")
-    parser.add_argument("--tau", type=float, required=start,
+    parser.add_argument("--tau", "-tau", type=float, required=start,
                         help="tau for PU learning - expected fraction of positives")
     parser.add_argument("--train_gt", "-gt", help="Path to ground truth dataset")
     parser.add_argument("--train_label", "-l", required=start,
@@ -34,11 +34,13 @@ def _add_shared_args(parser: argparse.ArgumentParser, start: bool):
     parser.add_argument("--validation_gt", "-vgt", help="Validation ground truth path")
     parser.add_argument("--iterations", "-iter", required=start, type=int,
                         help="Number of training iterations")
-    parser.add_argument("--num", type=int, default=1,
+    parser.add_argument("--num", "-num", type=int, default=1,
                         help="Number of eval samples during training")
-    parser.add_argument("--lr", type=float, help="learning rate")
-    parser.add_argument("--nms", type=int, help="non-maximum suppression radius")
-    parser.add_argument("--bb", type=int, help="bounding box radius of particles")
+    parser.add_argument("--lr", "-lr", type=float, help="learning rate")
+    parser.add_argument("--nms", "-nms", type=int,
+                        help="non-maximum suppression radius")
+    parser.add_argument("--bb", "-bb", type=int,
+                        help="bounding box radius of particles")
     parser.add_argument("--eval_interval", type=int)
     parser.add_argument("--checkpoint_interval", type=int)
     parser.add_argument("--print_interval", type=int)
@@ -94,12 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
     ev = sub.add_parser("eval", help="Evaluate a trained model")
     ev.add_argument("--model", "-m", required=True, help=".training or .wt checkpoint")
     ev.add_argument("--dataset", "-d", required=True, help="Eval dataset path")
-    ev.add_argument("--gt_dataset", "-gt", help="Clean ground-truth dataset path")
+    ev.add_argument("--gt_dataset", "-gt", "-g",
+                    help="Clean ground-truth dataset path")
     ev.add_argument("--labels", "-l", help="Eval coordinate labels (optional)")
     ev.add_argument("--runs_dir", default=cfg_mod.DEFAULT_RUN_DIR)
     ev.add_argument("--batch_size", type=int)
-    ev.add_argument("--nms", type=int)
-    ev.add_argument("--num", type=int)
+    ev.add_argument("--nms", "-nms", type=int)
+    ev.add_argument("--num", "-num", type=int)
     ev.add_argument(
         "--exclude_contam",
         action="store_true",
