@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     resume = train_sub.add_parser("resume", help="Resume a training run")
     resume.add_argument("run_dir", help="Run directory to resume")
+    resume.add_argument(
+        "--iteration", type=int, default=None,
+        help="Resume from a specific model_{iter:08d}.training snapshot "
+        "instead of the latest (rollback)",
+    )
     _add_shared_args(resume, False)
 
     # --- eval ---
@@ -205,6 +210,13 @@ def _apply_shared(cfg: Dict, trainer, args: Dict):
     for arg, key in mapping.items():
         if args.get(arg) is not None:
             cfg[key] = args[arg]
+    # Loss weights live in cfg (single source of truth) but the trainer
+    # caches them as attributes for the jitted step factories — keep a
+    # resumed trainer in sync when --alpha/--tau are re-passed.
+    if ConfigValue.ALPHA in cfg:
+        trainer.alpha = float(cfg[ConfigValue.ALPHA])
+    if ConfigValue.TAU in cfg:
+        trainer.tau = float(cfg[ConfigValue.TAU])
 
 
 def run_train(args: Dict):
@@ -247,7 +259,7 @@ def run_train(args: Dict):
                 runs_dir=args["runs_dir"], profile=profile,
             )
     else:
-        trainer = resume_run(args["run_dir"])
+        trainer = resume_run(args["run_dir"], iteration=args.get("iteration"))
         cfg = trainer.cfg
 
     _apply_shared(cfg, trainer, args)

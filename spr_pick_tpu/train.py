@@ -40,7 +40,12 @@ from spr_pick_tpu.params import (
 )
 from spr_pick_tpu.steps import TrainState, init_state, make_eval_step, make_train_step
 from spr_pick_tpu.utils import checkpoint as ckpt
-from spr_pick_tpu.utils.image_io import ScalarWriter, save_array_image
+from spr_pick_tpu.utils.image_io import (
+    ScalarWriter,
+    quantize_u8_device,
+    save_array_image,
+    save_u8_image,
+)
 from spr_pick_tpu.utils.logging_helper import setup as setup_logging
 from spr_pick_tpu.utils.metrics import (
     Metric,
@@ -64,8 +69,8 @@ class DenoiserTrainer:
         self,
         cfg: Optional[Dict],
         mode: str = "joint",
-        alpha: float = 0.8,
-        tau: float = 0.01,
+        alpha: Optional[float] = None,
+        tau: Optional[float] = None,
         runs_dir: str = DEFAULT_RUN_DIR,
         run_dir: Optional[str] = None,
         profile: bool = False,
@@ -77,8 +82,25 @@ class DenoiserTrainer:
         self.runs_dir = runs_dir
         self._run_dir = run_dir
         self.mode = mode
-        self.alpha = alpha
-        self.tau = tau
+        # cfg is the single source of truth for the loss weights: explicit
+        # constructor args write through to cfg (so run naming and the
+        # checkpoint always reflect the weights actually trained with), and
+        # omitted args read cfg's value.  Keeping them separate let a
+        # resumed run silently train with DEFAULT alpha/tau while the
+        # checkpointed cfg said otherwise (caught by
+        # tests/test_resume_trajectory.py).
+        if self.cfg:
+            if alpha is not None:
+                self.cfg[ConfigValue.ALPHA] = float(alpha)
+            if tau is not None:
+                self.cfg[ConfigValue.TAU] = float(tau)
+            self.alpha = float(self.cfg.get(ConfigValue.ALPHA, 0.8))
+            self.tau = float(self.cfg.get(ConfigValue.TAU, 0.01))
+        else:
+            # Shell trainer (resume/eval): real values arrive with the
+            # checkpoint cfg in load_state_dict/load_weights.
+            self.alpha = 0.8 if alpha is None else float(alpha)
+            self.tau = 0.01 if tau is None else float(tau)
 
         self.state: Dict = {}
         self.init_state()
@@ -996,6 +1018,14 @@ class DenoiserTrainer:
             )
 
         def unpad_save(arr, desc):
+            if isinstance(arr, jax.Array) and not isinstance(arr, np.ndarray):
+                # Device-resident output map: quantise to u8 ON DEVICE and
+                # ship 1 byte/px instead of 4 (bit-identical PNG bytes —
+                # utils/image_io.quantize_u8_device).
+                save_u8_image(
+                    quantize_u8_device(arr, shape), path_for(desc, fileformat)
+                )
+                return
             img = unpad(np.asarray(arr)[0, :, :, 0], shape)
             save_array_image(img, path_for(desc, fileformat))
 
@@ -1011,9 +1041,11 @@ class DenoiserTrainer:
             unpad_save(outputs[PipelineOutput.MODEL_STD_DEV], "out-std")
         if PipelineOutput.DETECT in outputs and scoreformat is not None:
             unpad_save(outputs[PipelineOutput.DETECT], "pred_tar")
-            heatmap = unpad(
-                np.asarray(outputs[PipelineOutput.DETECT])[0, :, :, 0], shape
-            )
+            # Keep the heatmap device-resident: write_scores only needs its
+            # shape when picks are precomputed, and nms_to_host consumes
+            # device arrays directly — fetching the full f32 map here was
+            # a pure D2H round trip on the export hot path.
+            heatmap = outputs[PipelineOutput.DETECT][0, : shape[0], : shape[1], 0]
             suppressed = None
             if (
                 outputs.get("_picks") is None
@@ -1153,6 +1185,11 @@ class DenoiserTrainer:
             state = ckpt.load(state)
         self.cfg = state["cfg"]
         self.mode = state.get("mode", self.mode) or self.mode
+        # Loss weights travel with the cfg (single source of truth): a
+        # resumed run must train with the SAME alpha/tau as the original
+        # or the trajectory silently diverges.
+        self.alpha = float(self.cfg.get(ConfigValue.ALPHA, self.alpha))
+        self.tau = float(self.cfg.get(ConfigValue.TAU, self.tau))
         self.denoiser = Denoiser(self.cfg, mode=self.mode)
         base = init_state(
             self.denoiser, seed=int(self.cfg.get(ConfigValue.SEED, 0)),
@@ -1193,6 +1230,8 @@ class DenoiserTrainer:
             state = ckpt.load(state)
         self.cfg = state["cfg"]
         self.mode = state.get("mode", self.mode) or self.mode
+        self.alpha = float(self.cfg.get(ConfigValue.ALPHA, self.alpha))
+        self.tau = float(self.cfg.get(ConfigValue.TAU, self.tau))
         self.denoiser = Denoiser(self.cfg, mode=self.mode)
         base = init_state(
             self.denoiser, seed=0, patch=self.cfg[ConfigValue.TRAIN_PATCH_SIZE]
@@ -1360,13 +1399,15 @@ class DenoiserTrainer:
 
 
 def resume_run(run_dir: str, iteration: int = None, mode: str = None) -> DenoiserTrainer:
-    """Resume training from the latest `.training` snapshot.
+    """Resume training from a `.training` snapshot (latest by default).
 
     Parity: train.py:1204-1242 — with the `mode` argument actually supplied
     (the reference omits it and would raise; SURVEY.md §7.4).  When ``mode``
     is None it is auto-detected from the run directory: a `training_jt/`
     subdir means a joint run, `training_dn/` a denoise-only (`--dn_only`)
-    run — so the CLI can resume either kind without a flag.
+    run — so the CLI can resume either kind without a flag.  ``iteration``
+    selects a specific ``model_{iter:08d}.training`` snapshot instead of
+    the max-iteration one (rollback / trajectory-replay).
     """
     run_dir = os.path.abspath(run_dir)
     runs_dir = os.path.abspath(os.path.join(run_dir, ".."))
@@ -1380,7 +1421,17 @@ def resume_run(run_dir: str, iteration: int = None, mode: str = None) -> Denoise
                 f"no training_jt/ or training_dn/ snapshots under {run_dir}"
             )
     subdir = "training_jt" if mode == "joint" else "training_dn"
-    path = ckpt.find_latest_training(run_dir, subdir)
+    if iteration is None:
+        path = ckpt.find_latest_training(run_dir, subdir)
+    else:
+        path = os.path.join(
+            run_dir, subdir, f"model_{iteration:08d}.training"
+        )
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f"no snapshot for iteration {iteration} under "
+                f"{os.path.join(run_dir, subdir)}"
+            )
     logger.info("Loading from '%s'...", path)
     trainer = DenoiserTrainer(
         None, mode=mode, runs_dir=runs_dir, run_dir=os.path.basename(run_dir)

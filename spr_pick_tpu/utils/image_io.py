@@ -40,6 +40,36 @@ def save_array_image(img: np.ndarray, path: str):
     array2image(img).save(path)
 
 
+def quantize_u8_device(arr, shape) -> np.ndarray:
+    """Unpad + min-max quantise to uint8 ON DEVICE; fetch (H, W) u8.
+
+    Same math as :func:`array2image` — XLA's truncating f32->u8 cast is
+    bit-identical to numpy's (verified over random sweeps), and min/max
+    reductions are order-independent, so the PNG bytes match the host
+    path exactly.  The crop to ``shape`` happens BEFORE the min-max so
+    pad pixels can't skew the range (same as unpad-then-normalise).
+
+    Why: the artifact-export path used to pull every full f32 map to the
+    host (4 bytes/px x up to 5 maps per micrograph); shipping the final
+    u8 instead cuts that device->host traffic 4x — on narrow device
+    links the export D2H is the end-to-end eval bottleneck (docs/PERF.md).
+    """
+    import jax.numpy as jnp
+
+    x = arr[0, : shape[0], : shape[1], 0].astype(jnp.float32)
+    lo, hi = x.min(), x.max()
+    y = jnp.where(hi > lo, (x - lo) / jnp.maximum(hi - lo, 1e-38), 0.0)
+    return np.asarray((y * 255.0).astype(jnp.uint8))
+
+
+def save_u8_image(u8: np.ndarray, path: str):
+    """Write an already-quantised (H, W) uint8 array as a PNG."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(u8, mode="L").save(path)
+
+
 def save_array_image_filtered(img: np.ndarray, path: str, kernel_size: int = 9):
     """Median-filtered variant (utils/data.py:95-118)."""
     from scipy.signal import medfilt

@@ -121,3 +121,42 @@ def test_folder_dataset(tmp_path, rng):
     assert ds.image_size(0) == (16, 24)
     names = {ds.name(i) for i in range(2)}
     assert names == {"a", "b"}
+
+
+def test_quantize_u8_device_matches_host(rng, tmp_path):
+    """Device-side u8 quantisation (export D2H saver) must produce PNG
+    bytes identical to the host array2image path: same unpad-then-minmax
+    order, same truncating f32->u8 cast.  Covers negative values, a
+    constant map (hi == lo -> zeros), and pad pixels outside `shape`
+    that must NOT skew the range."""
+    import jax.numpy as jnp
+
+    from spr_pick_tpu.data.micrograph import unpad
+    from spr_pick_tpu.utils.image_io import (
+        array2image,
+        quantize_u8_device,
+        save_array_image,
+        save_u8_image,
+    )
+
+    shape = (37, 53)
+    padded = np.full((1, 64, 64, 1), 1e6, np.float32)  # poisonous padding
+    padded[0, : shape[0], : shape[1], 0] = (
+        rng.randn(*shape).astype(np.float32) * 3 - 1
+    )
+
+    host = np.asarray(array2image(unpad(padded[0, :, :, 0], shape)))
+    dev = quantize_u8_device(jnp.asarray(padded), shape)
+    np.testing.assert_array_equal(host, dev)
+
+    # Constant map: array2image maps hi == lo to zeros.
+    const = np.full((1, 16, 16, 1), 2.5, np.float32)
+    np.testing.assert_array_equal(
+        quantize_u8_device(jnp.asarray(const), (16, 16)), np.zeros((16, 16))
+    )
+
+    # Written files byte-identical.
+    p1, p2 = str(tmp_path / "host.png"), str(tmp_path / "dev.png")
+    save_array_image(unpad(padded[0, :, :, 0], shape), p1)
+    save_u8_image(dev, p2)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
