@@ -250,6 +250,23 @@ def bench_eval_e2e(n_micrographs=4, size=1024):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _section(label, fn):
+    """Run one bench section fault-isolated: a mid-run failure (e.g. the
+    TPU tunnel drifting dead between sections) must not wipe the whole
+    artifact — later sections and the headline line still run.  The
+    failure itself is loud: full traceback to stderr + an "error" JSON
+    line, so a genuine regression cannot pass silently."""
+    import sys
+    import traceback
+
+    try:
+        return fn()
+    except Exception as exc:  # noqa: BLE001 — survive, report, continue
+        traceback.print_exc()
+        print(json.dumps({"metric": label, "error": repr(exc)}), flush=True)
+        return None
+
+
 def main():
     c, den = make_denoiser()
     state = init_state(den, seed=0, patch=64)
@@ -257,28 +274,37 @@ def main():
     max_peaks = int(c[ConfigValue.MAX_PEAKS])
 
     # Configs 1-3
-    n2c = bench_denoise_train(NoiseAlgorithm.NOISE_TO_CLEAN, None, batch=2)
-    emit("n2c train (batch 2, fused device data plane), single chip",
-         n2c, "iters/sec", "train_n2c")
-    n2v = bench_denoise_train(NoiseAlgorithm.NOISE_TO_VOID, None, batch=4)
-    emit("n2v train (batch 4, fused device UPS masking), single chip",
-         n2v, "iters/sec", "train_n2v")
-    u_only = bench_denoise_train(
+    n2c = _section("n2c train", partial(
+        bench_denoise_train, NoiseAlgorithm.NOISE_TO_CLEAN, None, batch=2))
+    if n2c is not None:
+        emit("n2c train (batch 2, fused device data plane), single chip",
+             n2c, "iters/sec", "train_n2c")
+    n2v = _section("n2v train", partial(
+        bench_denoise_train, NoiseAlgorithm.NOISE_TO_VOID, None, batch=4))
+    if n2v is not None:
+        emit("n2v train (batch 4, fused device UPS masking), single chip",
+             n2v, "iters/sec", "train_n2v")
+    u_only = _section("ssdn_u_only train", partial(
+        bench_denoise_train,
         NoiseAlgorithm.SELFSUPERVISED_DENOISING_MEAN_ONLY,
-        NoiseValue.UNKNOWN_VARIABLE, batch=4,
-    )
-    emit("ssdn_u_only train (batch 4, sigma-net, fused device data plane), single chip",
-         u_only, "iters/sec", "train_u_only")
+        NoiseValue.UNKNOWN_VARIABLE, batch=4))
+    if u_only is not None:
+        emit("ssdn_u_only train (batch 4, sigma-net, fused device data plane), single chip",
+             u_only, "iters/sec", "train_u_only")
 
     # Config 4
-    train_iters_per_sec, _ = bench_train(den, state)
-    emit("joint train step (batch 4, scan-chunked), single chip",
-         train_iters_per_sec, "iters/sec", "train_joint")
+    train_iters_per_sec = None
+    res = _section("joint train", lambda: bench_train(den, state))
+    if res is not None:
+        train_iters_per_sec, _ = res
+        emit("joint train step (batch 4, scan-chunked), single chip",
+             train_iters_per_sec, "iters/sec", "train_joint")
 
     # Config 5a: end-to-end evaluator incl. artifacts
-    e2e = bench_eval_e2e()
-    emit("end-to-end eval incl. artifact export (PNGs+NMS+scores), single chip",
-         e2e, "micrographs/sec", "eval_e2e")
+    e2e = _section("eval e2e", bench_eval_e2e)
+    if e2e is not None:
+        emit("end-to-end eval incl. artifact export (PNGs+NMS+scores), single chip",
+             e2e, "micrographs/sec", "eval_e2e")
 
     # Config 5b: device-only dense inference headline (LAST line)
     # Fresh init for inference: the worst-case-NMS claim (sigmoid ~0.5
@@ -326,14 +352,17 @@ def main():
     dt = (time.time() - t0) / (N_ITERS * BATCH)
 
     ref_tr = REFERENCE_CPU.get("train_joint")
+    have_tr = train_iters_per_sec is not None
     emit(
         "dense joint 1024^2 inference (denoise+detect+NMS), single chip",
         1.0 / dt, "micrographs/sec", "dense_infer",
         extra={
-            "train_iters_per_sec": round(train_iters_per_sec, 2),
+            "train_iters_per_sec": round(train_iters_per_sec, 2)
+            if have_tr else None,
             "train_vs_baseline": round(train_iters_per_sec * ref_tr, 2)
-            if ref_tr else None,
-            "eval_e2e_micrographs_per_sec": round(e2e, 4),
+            if (have_tr and ref_tr) else None,
+            "eval_e2e_micrographs_per_sec": round(e2e, 4)
+            if e2e is not None else None,
         },
     )
 
