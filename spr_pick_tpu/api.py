@@ -85,11 +85,20 @@ class Picker:
         if max(padded.shape) > self._ev.tile_eval_threshold:
             # Same routing as the evaluator: giant micrographs go through
             # halo tiling (the whole-image forward would exhaust HBM and
-            # compile a fresh program per size).
+            # compile a fresh program per size).  _evaluate_tiled draws one
+            # key per tile chunk from the evaluator's internal stream; pin
+            # that stream to this Picker's seed for the call so the tiled
+            # route honours the same deterministic-seed contract as the
+            # whole-image path (repeated picks are idempotent).
             self._ev._eval_step = self._step
-            outputs = self._ev._evaluate_tiled(
-                {"inp": padded[None, :, :, None]}
-            )
+            saved_key = self._ev._rng_key
+            self._ev._rng_key = jax.random.PRNGKey(self.seed)
+            try:
+                outputs = self._ev._evaluate_tiled(
+                    {"inp": padded[None, :, :, None]}
+                )
+            finally:
+                self._ev._rng_key = saved_key
             return outputs, shape
         outputs = self._step(
             self._ev.train_state,

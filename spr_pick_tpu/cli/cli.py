@@ -349,7 +349,33 @@ def _expand_pick_inputs(items: List[str]):
         nm if nm is not None else Picker._name_for(p)
         for nm, p in zip(names, paths)
     ]
-    return paths, names
+    # Basename-derived names can collide across input dirs/manifests
+    # (dirA/mic1.mrc + dirB/mic1.mrc).  Left as-is they'd silently
+    # overwrite each other's --denoise_dir output and merge their rows
+    # under one image_name in the picks table; disambiguate
+    # deterministically and warn.
+    counts: Dict[str, int] = {}
+    unique = []
+    n_dups = 0
+    for nm in names:
+        if nm in counts:
+            n_dups += 1
+            counts[nm] += 1
+            cand = f"{nm}-{counts[nm]}"
+            while cand in counts:
+                counts[nm] += 1
+                cand = f"{nm}-{counts[nm]}"
+            counts[cand] = 1
+            unique.append(cand)
+        else:
+            counts[nm] = 1
+            unique.append(nm)
+    if n_dups:
+        logging.getLogger("cli").warning(
+            "pick: %d duplicate image name(s) across inputs; "
+            "suffixed -2, -3, ... to keep outputs distinct", n_dups
+        )
+    return paths, unique
 
 
 def run_pick(args: Dict):

@@ -66,9 +66,14 @@ def prepare_batch(
     if mask is not None:
         batch["mask"] = mask[..., None]
     if noise_input and not isinstance(coeff, int):
-        batch["noise_std"] = np.reshape(
-            np.asarray(coeff, np.float32), (clean.shape[0], 1, 1, 1)
-        )
+        coeff_arr = np.asarray(coeff, np.float32)
+        if coeff_arr.ndim == 0:
+            # Fixed-parameter styles (e.g. "gauss25") yield ONE scalar for
+            # the whole batch; broadcast to the per-item layout the
+            # sigma-consuming pipelines expect (same shape contract as
+            # prepare_batch_jax, which always builds (B,1,1)).
+            coeff_arr = np.full((clean.shape[0],), float(coeff_arr), np.float32)
+        batch["noise_std"] = coeff_arr.reshape(clean.shape[0], 1, 1, 1)
     return batch
 
 

@@ -136,3 +136,52 @@ def test_picker_matches_evaluator_scores(tmp_path, rng):
     assert den.shape == (img_h, img_w)
     assert den.dtype == np.float32
     assert np.isfinite(den).all()
+
+
+@pytest.mark.slow
+def test_picker_tiled_route_is_deterministic_and_seeded(tmp_path, rng):
+    """Micrographs above tile_eval_threshold route through halo tiling,
+    which draws sampling noise from the EVALUATOR's internal RNG stream.
+    The Picker must pin that stream to its own seed for the call: repeated
+    picks on one Picker are idempotent, different seeds differ, and the
+    evaluator's key is restored afterwards."""
+    from spr_pick_tpu.api import Picker
+
+    wt, images_txt = _train_tiny_joint(tmp_path, rng, zero_sigma_head=False)
+    mic = str(pd.read_csv(images_txt, sep="\t")["path"][0])
+
+    def tiled_picker(seed):
+        p = Picker(wt, seed=seed)
+        # Shrink the tiling knobs so the 384^2 test micrograph takes the
+        # tiled route (production threshold 2048 would need a giant image).
+        p._ev.tile_eval_threshold = 256
+        p._ev.tile_eval_size = 192
+        p._ev.tile_eval_halo = 32
+        return p
+
+    picker = tiled_picker(seed=3)
+    key_before = np.asarray(picker._ev._rng_key).copy()
+    first = picker.pick(mic)
+    np.testing.assert_array_equal(
+        np.asarray(picker._ev._rng_key), key_before
+    )  # evaluator stream untouched
+    second = picker.pick(mic)
+    pd.testing.assert_frame_equal(first, second)  # idempotent
+
+    den_a = picker.denoise(mic)
+    den_b = picker.denoise(mic)
+    np.testing.assert_array_equal(den_a, den_b)
+
+    # A different seed draws different reparameterisation noise z, which
+    # feeds the detector head (the denoised output is the posterior mean —
+    # deterministic by design — so the seed shows up in the pick scores).
+    third = tiled_picker(seed=4).pick(mic)
+    same = (
+        len(third) == len(first)
+        and np.array_equal(
+            third[["x_coord", "y_coord"]].to_numpy(),
+            first[["x_coord", "y_coord"]].to_numpy(),
+        )
+        and np.array_equal(third.score.to_numpy(), first.score.to_numpy())
+    )
+    assert not same

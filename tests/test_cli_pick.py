@@ -99,3 +99,30 @@ def test_expand_pick_inputs_errors(tmp_path):
     empty.mkdir()
     with pytest.raises(SystemExit):
         cli._expand_pick_inputs([str(empty)])
+
+
+def test_expand_pick_inputs_dedups_duplicate_names(tmp_path):
+    # dirA/mic1.mrc + dirB/mic1.mrc would clobber each other's
+    # --denoise_dir output and merge picks rows under one image_name;
+    # names are suffixed deterministically instead.
+    import numpy as np
+
+    from spr_pick_tpu.data import mrc
+
+    img = np.zeros((8, 8), np.float32)
+    dirs = []
+    for d in ("a", "b", "c"):
+        sub = tmp_path / d
+        sub.mkdir()
+        mrc.write(str(sub / "mic1.mrc"), img)
+        dirs.append(str(sub))
+    mrc.write(str(tmp_path / "a" / "other.mrc"), img)
+
+    paths, names = cli._expand_pick_inputs(dirs)
+    assert len(paths) == 4
+    assert sorted(names) == ["mic1", "mic1-2", "mic1-3", "other"]
+    # Alignment preserved: each name still corresponds to its path's dir.
+    by_name = dict(zip(names, paths))
+    assert by_name["mic1"].startswith(str(tmp_path / "a"))
+    assert by_name["mic1-2"].startswith(str(tmp_path / "b"))
+    assert by_name["mic1-3"].startswith(str(tmp_path / "c"))

@@ -357,3 +357,25 @@ def test_denoise_scan_runs_and_updates(rng):
     assert int(state2.step) == step0 + k
     leaf1 = np.asarray(jax.tree_util.tree_leaves(state2.trainable)[0])
     assert not np.allclose(leaf0, leaf1)
+
+
+def test_prepare_batch_host_noise_input_fixed_style(rng):
+    """Fixed-parameter styles ("gauss25") return ONE scalar coefficient;
+    the host plane must broadcast it per-item like prepare_batch_jax
+    instead of crashing on the (B,1,1,1) reshape (B > 1)."""
+    crops = rng.rand(4, 32, 32).astype(np.float32)
+    host = prepare_batch(
+        crops, NoiseAlgorithm.NOISE_TO_NOISE, "gauss25", rng,
+        noise_input=True,
+    )
+    assert host["noise_std"].shape == (4, 1, 1, 1)
+    np.testing.assert_allclose(host["noise_std"], 25 / 255, rtol=1e-6)
+    assert float(np.std(host["inp"] - crops[..., None])) > 0.05
+
+    # Range styles keep their per-item draws.
+    ranged = prepare_batch(
+        crops, NoiseAlgorithm.NOISE_TO_NOISE, "gauss10_50", rng,
+        noise_input=True,
+    )
+    assert ranged["noise_std"].shape == (4, 1, 1, 1)
+    assert len(np.unique(ranged["noise_std"])) > 1
