@@ -250,13 +250,17 @@ def bench_eval_e2e(n_micrographs=4, size=1024):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_FAILED_SECTIONS = []
+
+
 def _section(label, fn):
     """Run one bench section fault-isolated: a mid-run failure (e.g. the
     TPU tunnel drifting dead between sections) must not wipe the whole
     artifact — later sections and the headline line still run.  The
-    failure itself is loud: full traceback to stderr + an "error" JSON
-    line, so a genuine regression cannot pass silently."""
-    import sys
+    failure itself is loud: full traceback to stderr, an "error" JSON
+    line, AND a nonzero exit code after the headline (main() checks
+    _FAILED_SECTIONS), so a genuine regression cannot pass an rc gate
+    silently."""
     import traceback
 
     try:
@@ -264,6 +268,7 @@ def _section(label, fn):
     except Exception as exc:  # noqa: BLE001 — survive, report, continue
         traceback.print_exc()
         print(json.dumps({"metric": label, "error": repr(exc)}), flush=True)
+        _FAILED_SECTIONS.append(label)
         return None
 
 
@@ -365,6 +370,18 @@ def main():
             if e2e is not None else None,
         },
     )
+
+    if _FAILED_SECTIONS:
+        # The headline is out; now make the failure visible to rc-gating
+        # drivers too (every failed section already printed its traceback
+        # and error JSON line above).
+        import sys
+
+        sys.stderr.write(
+            f"bench.py: {len(_FAILED_SECTIONS)} section(s) failed: "
+            f"{', '.join(_FAILED_SECTIONS)}\n"
+        )
+        sys.exit(1)
 
 
 def _gate_backend():

@@ -108,16 +108,22 @@ def resume(run_dir):
     from spr_pick_tpu.train import resume_run
 
     trainer = resume_run(run_dir)
-    trainer.train()  # no-op if the run already hit its iteration target
+    # This demo run already hit its iteration target, so train() adds no
+    # training steps — it re-runs the final validation pass and rewrites
+    # the final snapshot/.wt before stopping.
+    trainer.train()
 
 
 def evaluate(run_dir, images_txt, coords_txt, runs_dir, star_out):
     """Dense whole-micrograph eval: per-pixel heatmap -> greedy NMS ->
     `_scores.txt` + PNG artifacts + one aggregated RELION .star.
 
-    CLI equivalent:
+    CLI equivalent (star_threshold/scale 0/1 match the convert() call
+    below — production defaults are 0.13/4.0, tuned for the reference's
+    8x->2x binned preprocessing):
       joint eval -m RUN/final-*.wt -d IMAGES -l COORDS --num N \\
-          --runs_dir RUNS --export_star OUT.star
+          --runs_dir RUNS --export_star OUT.star \\
+          --star_threshold 0 --star_scale 1
     """
     from spr_pick_tpu.data.star_export import convert
     from spr_pick_tpu.eval import DenoiserEvaluator
@@ -168,6 +174,10 @@ def main():
     ap.add_argument("--n_images", type=int, default=2)
     ap.add_argument("--size", type=int, default=384)
     args = ap.parse_args()
+    if args.size < 236:
+        # synthesize_dataset places particles in [85, size-150) so they sit
+        # inside the PU sampler's border margins.
+        ap.error("--size must be >= 236")
 
     out = args.out or tempfile.mkdtemp(prefix="spr_quickstart_")
     os.makedirs(out, exist_ok=True)

@@ -37,7 +37,7 @@ def prepare_batch(
     if noise_input and noise_style:
         noisy_in, coeff = add_style(clean, noise_style, rng=rng)
     else:
-        noisy_in, coeff = clean, 0
+        noisy_in, coeff = clean, None
 
     batch: Dict[str, np.ndarray] = {}
     mask = None
@@ -65,7 +65,9 @@ def prepare_batch(
         batch["ref"] = ref[..., None]
     if mask is not None:
         batch["mask"] = mask[..., None]
-    if noise_input and not isinstance(coeff, int):
+    if coeff is not None:
+        # Note: NOT an `isinstance(coeff, int)` guard — fixed poisson
+        # styles ("poisson30") legitimately return a Python-int lam.
         coeff_arr = np.asarray(coeff, np.float32)
         if coeff_arr.ndim == 0:
             # Fixed-parameter styles (e.g. "gauss25") yield ONE scalar for

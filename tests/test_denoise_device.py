@@ -379,3 +379,20 @@ def test_prepare_batch_host_noise_input_fixed_style(rng):
     )
     assert ranged["noise_std"].shape == (4, 1, 1, 1)
     assert len(np.unique(ranged["noise_std"])) > 1
+
+    # Fixed poisson styles return a Python-int lam — that is a REAL
+    # coefficient, not the no-noise sentinel; noise_std must be present
+    # (noise_value=known depends on it) exactly like prepare_batch_jax.
+    pois = prepare_batch(
+        crops, NoiseAlgorithm.NOISE_TO_NOISE, "poisson30", rng,
+        noise_input=True,
+    )
+    assert pois["noise_std"].shape == (4, 1, 1, 1)
+    np.testing.assert_allclose(pois["noise_std"], 30.0)
+
+    # No noise_input -> no noise_std key at all.
+    off = prepare_batch(
+        crops, NoiseAlgorithm.NOISE_TO_NOISE, "gauss25", rng,
+        noise_input=False,
+    )
+    assert "noise_std" not in off
