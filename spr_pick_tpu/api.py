@@ -159,8 +159,12 @@ class Picker:
         ``batch_size`` > 1 groups consecutive SAME-SHAPE micrographs into
         one dense forward + one vmapped NMS program (the evaluator's
         batched path): the NMS wave fixed costs amortise across the batch
-        and nothing but the pick lists crosses to host.  Results are
-        identical to batch_size=1.
+        and nothing but the pick lists crosses to host.  Results match
+        batch_size=1 up to backend conv numerics: a batch-N conv program
+        may round differently from batch-1 at the lsb (bit-identical on
+        CPU, ~7e-3 heatmap drift in bf16 on TPU), which can flip picks
+        whose scores tie at the threshold.  Given the same heatmap, the
+        vmapped NMS is bit-exact vs the single-image kernel.
 
         ``names``: optional per-image output names (e.g. from a manifest's
         image_name column); defaults to each path's basename.

@@ -164,14 +164,27 @@ def test_sharded_eval_matches_single(cpu_mesh_devices, rng):
     )
     # Per-example math is identical, but XLA picks different conv blocking
     # for batch-8 (single device) vs batch-1-per-shard programs -> f32
-    # reassociation noise ~1e-4 absolute (measured max 5.7e-5); relative
-    # tolerance alone would flag near-zero pixels.
+    # reassociation noise ~1e-4 absolute at the network outputs (measured
+    # 5.7e-5 on one host CPU, 1.03e-4 on another; codegen is host-dependent).
     np.testing.assert_allclose(
         det1, np.asarray(out8[PipelineOutput.DETECT]), rtol=1e-3, atol=2e-4
     )
     np.testing.assert_allclose(
+        np.asarray(out1[PipelineOutput.IMG_MU]),
+        np.asarray(out8[PipelineOutput.IMG_MU]), rtol=1e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1[PipelineOutput.MODEL_STD_DEV]),
+        np.asarray(out8[PipelineOutput.MODEL_STD_DEV]), rtol=1e-3, atol=2e-4,
+    )
+    # The ssdn posterior mean divides by the UNTRAINED model variance
+    # (sigma_x ~ 0.01 at init), amplifying that conv noise by up to
+    # ~(x-mu)/sigma — measured 2.25e-3 max on a host whose batch-8 vs
+    # batch-1 codegen diverges at 1e-4.  The equality claim for the
+    # posterior is therefore conv-noise * amplification, not 2e-4.
+    np.testing.assert_allclose(
         img1, np.asarray(out8[PipelineOutput.IMG_DENOISED]),
-        rtol=1e-3, atol=2e-4,
+        rtol=1e-3, atol=5e-3,
     )
 
 
