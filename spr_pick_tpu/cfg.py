@@ -28,7 +28,11 @@ _TRAINING_DEFAULTS = {
     CV.ITERATIONS: 200000,
     CV.TRAIN_MINIBATCH_SIZE: 16,
     CV.TRAIN_PATCH_SIZE: 64,
-    CV.LEARNING_RATE: 1e-5,
+    # The reference STORES 1e-5 here but its trainer ignores it and
+    # hardcodes 1e-4 (spr_pick/train.py:441) — the stored value is dead
+    # surface.  Here the config is the source of truth at the same
+    # effective default, which makes --lr actually work.
+    CV.LEARNING_RATE: 1e-4,
     CV.JOINT_LR: 1e-5,
     CV.LR_RAMPDOWN_FRACTION: 0.7,
     CV.LR_RAMPUP_FRACTION: 0.2,

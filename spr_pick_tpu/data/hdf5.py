@@ -38,7 +38,13 @@ class HDF5Dataset:
         if self.shapes is not None:
             h, w = self.shapes[index][:2]
             img = img.reshape(-1)[: h * w].reshape(h, w)
-        if img.max() > 1.5:  # stored as uint8 range
+        # Normalisation is decided by the STORED dtype, not a per-image
+        # value heuristic (a near-black uint8 frame would skip a
+        # max()>1.5 test and enter at 255x its siblings' scale).  The
+        # reference divides unconditionally via PIL to_tensor — same
+        # behaviour for integer-stored datasets; float-stored data is
+        # assumed already in [0, 1].
+        if np.issubdtype(self.images.dtype, np.integer):
             img = img / 255.0
         return img
 

@@ -27,26 +27,34 @@ import numpy as np
 import pandas as pd
 
 from spr_pick_tpu.data import files as file_utils
-from spr_pick_tpu.data.loader import load_image, load_images_from_list
+from spr_pick_tpu.data.loader import IMAGE_EXTS, load_image, \
+    load_images_from_list
 from spr_pick_tpu.data.sampler import unpack_index
 from spr_pick_tpu.ops.heatmap import as_gaussian, as_mask
-
-IMAGE_EXTS = (".mrc", ".tiff", ".png")
 
 
 def _image_table(path: str, image_ext: str = "") -> pd.DataFrame:
     """Manifest TSV or directory -> DataFrame(image_name, path).
 
-    Parity: micrograph.py:217-229.
+    Parity: micrograph.py:217-229.  The extension filter is the loader's
+    own IMAGE_EXTS (one shared constant — a private subset here once
+    silently dropped .tif files the loader could read), and an empty
+    directory raises instead of yielding a 0-image dataset that crashes
+    later with an opaque sampler IndexError.
     """
     if os.path.isdir(path):
         paths = glob.glob(path + os.sep + "*" + image_ext)
         names, valid = [], []
         for p in paths:
             name, ext = os.path.splitext(os.path.basename(p))
-            if ext in IMAGE_EXTS:
+            if ext.lower() in IMAGE_EXTS:
                 names.append(name)
                 valid.append(p)
+        if not valid:
+            raise ValueError(
+                f"no images with extensions {IMAGE_EXTS} found under "
+                f"{path!r}"
+            )
         return pd.DataFrame({"image_name": names, "path": valid})
     return pd.read_csv(path, sep="\t")
 
@@ -69,8 +77,29 @@ def pad_to_multiple(img: np.ndarray, multiple: int,
         ph = pw = max(ph, pw)
     if ph == h and pw == w:
         return img, (h, w)
-    pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (img.ndim - 2)
-    return np.pad(img, pad, mode="reflect"), (h, w)
+    return _reflect_pad_trailing(img, ph - h, pw - w), (h, w)
+
+
+def _reflect_pad_trailing(img: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Reflection-pad the trailing H/W sides by (ph, pw).
+
+    np.pad(mode="reflect") requires pad < dim; square-padding a
+    rectangular micrograph with aspect ratio >= 2 violates that, so the
+    pad is applied in passes (each bounded by dim-1).  Degenerate 1-px
+    dims fall back to edge replication (reflect is undefined there).
+    """
+    while ph > 0 or pw > 0:
+        h, w = img.shape[:2]
+        if (ph > 0 and h <= 1) or (pw > 0 and w <= 1):
+            pad = [(0, ph), (0, pw)] + [(0, 0)] * (img.ndim - 2)
+            return np.pad(img, pad, mode="edge")
+        dh = min(ph, h - 1)
+        dw = min(pw, w - 1)
+        pad = [(0, dh), (0, dw)] + [(0, 0)] * (img.ndim - 2)
+        img = np.pad(img, pad, mode="reflect")
+        ph -= dh
+        pw -= dw
+    return img
 
 
 def unpad(img: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
@@ -114,11 +143,15 @@ class MicrographDataset:
         gt_images = _image_table(self.gt_path) if self.gt_path else None
 
         targets = file_utils.read_coordinates(self.coordinate_path) if self.coordinate_path else pd.DataFrame(columns=["image_name", "x_coord", "y_coord"])
-        if "source" not in train_images and "source" not in targets:
+        # Default the source column PER TABLE: the reference only
+        # defaults when BOTH lack it (micrograph.py:248), so a coordinate
+        # file carrying `source` with a plain image manifest crashes.
+        if "source" not in train_images:
             train_images["source"] = 0
+        if "source" not in targets:
             targets["source"] = 0
-            if gt_images is not None:
-                gt_images["source"] = 0
+        if gt_images is not None and "source" not in gt_images:
+            gt_images["source"] = 0
 
         images = load_images_from_list(
             train_images.image_name, train_images.path, sources=train_images.source
@@ -206,6 +239,14 @@ class MicrographDataset:
             self.coords.append(g_xy)
 
         self.num_images = sum(len(g) for g in self.images)
+        # Flat index -> (group, local) so test_item spans ALL source
+        # groups; the reference resolves test indices in group 0 only
+        # (micrograph.py:129) and breaks on multi-source manifests.
+        self._flat_index = [
+            (g, i)
+            for g, group in enumerate(self.images)
+            for i in range(len(group))
+        ]
         self.num_positive_regions, self.total_regions = self._report_stats()
 
     def _report_stats(self):
@@ -254,9 +295,10 @@ class MicrographDataset:
         pad_multiple//2 (half the full-res pad grid, as in the reference).
         ``square`` pads to a square canvas for blind-spot dense eval.
         """
-        img = self.images[0][index]
-        hm = self.hms[0][index]
-        hm_small = self.hms_small[0][index]
+        g, i = self._flat_index[index]
+        img = self.images[g][i]
+        hm = self.hms[g][i]
+        hm_small = self.hms_small[g][i]
         padded, shape = pad_to_multiple(img, pad_multiple, square=square)
         hm_p, _ = pad_to_multiple(hm, pad_multiple, square=square)
         hm_s_p, _ = pad_to_multiple(
@@ -264,15 +306,15 @@ class MicrographDataset:
         )
         gt = None
         if self.gts:
-            gt = self.gts[0][index]
+            gt = self.gts[g][i]
         return {
             "inp": padded[None, :, :, None],
             "hm": hm_p[None, :, :, None],
             "hm_small": hm_s_p[None, :, :, None],
             "image_shape": shape,
-            "name": self.names[0][index],
+            "name": self.names[g][i],
             "gt": gt,
-            "target": self.targets[0][index],
+            "target": self.targets[g][i],
         }
 
 

@@ -164,9 +164,38 @@ class StratifiedCoordinateSampler:
             weights[i + 1] = (1 - p) / len(labels)
             i += 2
 
+        # Empty strata (e.g. every labelled particle inside the border
+        # margins, or a micrograph too small to have any unlabelled region)
+        # must never be drawn: a draw would index an empty array deep in
+        # the hot loop.  Zero their weight and renormalise; the reference
+        # crashes here (sampler.py:119-146 indexes x[0] unguarded).
+        sizes = np.array([len(g) for g in groups])
+        if (sizes == 0).any():
+            import logging
+
+            empty = [
+                f"group {k // 2} {'P' if k % 2 == 0 else 'U'}"
+                for k in np.flatnonzero(sizes == 0)
+            ]
+            logging.getLogger("sampler").warning(
+                "stratified sampler: %s empty (labels inside the border "
+                "margins, or the micrograph is smaller than the margin "
+                "frame); reweighting the remaining strata",
+                ", ".join(empty),
+            )
+            weights[sizes == 0] = 0.0
+            total = weights.sum()
+            if total <= 0:
+                raise ValueError(
+                    "stratified sampler: no usable coordinates in any "
+                    "stratum — all labelled particles fall inside the "
+                    "border margins and no unlabelled region remains"
+                )
+            weights = weights / total
+
         if size is None:
-            sizes = np.array([len(g) for g in groups])
-            size = int(np.round(np.min(sizes / weights)))
+            usable = weights > 0
+            size = int(np.round(np.min(sizes[usable] / weights[usable])))
 
         self.groups = groups
         self.weights = weights
@@ -188,7 +217,10 @@ class StratifiedCoordinateSampler:
             if n > 0:
                 weights = weights / n
             else:
-                weights = np.ones_like(weights) / len(weights)
+                # Uniform fallback over the DRAWABLE strata only (empty
+                # strata keep base weight 0 and must stay unreachable).
+                usable = (self.weights > 0).astype(np.float64)
+                weights = usable / usable.sum()
 
         i = self.random.choice(len(weights), p=weights)
         self.history[i] += 1

@@ -423,7 +423,6 @@ class Denoiser:
             diagonal = self.cfg[ConfigValue.DIAGONAL_COVARIANCE]
             if diagonal:
                 diag = a_c ** 2  # BHWC
-                sigma_x = jnp.zeros(a_c.shape + (c,))
                 sigma_x = jax.vmap(jnp.diag, in_axes=0)(diag.reshape(-1, c)).reshape(
                     a_c.shape[:-1] + (c, c)
                 )

@@ -199,13 +199,20 @@ class DenoiserTrainer:
     # ------------------------------------------------------------------
 
     @property
+    def base_learning_rate(self) -> float:
+        """Base LR for the cosine ramp.  The reference hardcodes 1e-4 at
+        the call site (train.py:441) and ignores cfg LEARNING_RATE; here
+        the cfg carries the same effective default so --lr is live."""
+        return float(self.cfg.get(ConfigValue.LEARNING_RATE) or 1e-4)
+
+    @property
     def learning_rate(self) -> float:
         return compute_ramped_lrate(
             self.state[StateValue.ITERATION],
             self.cfg[ConfigValue.ITERATIONS],
             self.cfg[ConfigValue.LR_RAMPDOWN_FRACTION],
             self.cfg[ConfigValue.LR_RAMPUP_FRACTION],
-            1e-4,
+            self.base_learning_rate,
         )
 
     # ------------------------------------------------------------------
@@ -482,6 +489,26 @@ class DenoiserTrainer:
                 jax.profiler.start_trace(os.path.join(self.run_dir_path, "profile"))
                 profiling = True
 
+            # Interval work (eval/print/snapshot) fires on interval-multiple
+            # CROSSINGS, not exact hits: iteration advances in batch_size
+            # (or k*batch_size) jumps, so with a batch size that does not
+            # divide the interval an `iteration % interval == 0` test (the
+            # reference's pattern, train.py:433-441) silently skips most
+            # boundaries — e.g. batch 24 with snapshot interval 3200 would
+            # snapshot only every lcm(24,3200)=9600 samples.
+            _fired = dict.fromkeys(
+                ("eval", "print", "snapshot"),
+                self.state[StateValue.ITERATION] - 1,
+            )
+
+            def _interval_due(kind: str, interval) -> bool:
+                if not interval or interval <= 0:
+                    return False
+                if iteration // interval > _fired[kind] // interval:
+                    _fired[kind] = iteration
+                    return True
+                return False
+
             while True:
                 iteration = self.state[StateValue.ITERATION]
 
@@ -502,12 +529,12 @@ class DenoiserTrainer:
                     return
 
                 if (
-                    iteration % self.cfg[ConfigValue.EVAL_INTERVAL] == 0
-                    and self.testset is not None
+                    self.testset is not None
+                    and _interval_due("eval", self.cfg[ConfigValue.EVAL_INTERVAL])
                 ):
                     self._flush_metrics(pending_metrics, batch_size)
                     self._evaluate(output_callback=self.validation_output_callback(0))
-                if iteration % self.cfg[ConfigValue.PRINT_INTERVAL] == 0:
+                if _interval_due("print", self.cfg[ConfigValue.PRINT_INTERVAL]):
                     self._flush_metrics(pending_metrics, batch_size)
                     if profiling and iteration > 0:
                         jax.profiler.stop_trace()
@@ -525,7 +552,7 @@ class DenoiserTrainer:
                     self.write_metrics(eval_prefix="valid")
                     last_print.total = 0
                     self.reset_metrics()
-                if iteration % self.cfg[ConfigValue.SNAPSHOT_INTERVAL] == 0:
+                if _interval_due("snapshot", self.cfg[ConfigValue.SNAPSHOT_INTERVAL]):
                     self._flush_metrics(pending_metrics, batch_size)
                     self.snapshot()
 
@@ -677,7 +704,7 @@ class DenoiserTrainer:
                     self.cfg[ConfigValue.ITERATIONS],
                     self.cfg[ConfigValue.LR_RAMPDOWN_FRACTION],
                     self.cfg[ConfigValue.LR_RAMPUP_FRACTION],
-                    1e-4,
+                    self.base_learning_rate,
                 )
                 for i in range(k)
             ],
@@ -831,6 +858,7 @@ class DenoiserTrainer:
                     output_callback(idx0 + j, per, item)
 
         pending = None
+        carried = None
         idx = 0
         while idx < len(indices):
             # Giant micrographs route through halo tiling (the whole-image
@@ -840,9 +868,13 @@ class DenoiserTrainer:
             square = bool(
                 getattr(self.denoiser, "blindspot", False)
             ) and not getattr(self.denoiser, "supports_rect_dense", False)
-            first = self.testset.test_item(
-                indices[idx], pad_multiple=32, square=square
-            )
+            if carried is not None:
+                first = carried
+                carried = None
+            else:
+                first = self.testset.test_item(
+                    indices[idx], pad_multiple=32, square=square
+                )
             if max(first["inp"].shape[1:3]) > self.tile_eval_threshold:
                 if pending is not None:
                     process_group(*pending)
@@ -861,6 +893,9 @@ class DenoiserTrainer:
                 continue
 
             # Group consecutive same-shape micrographs into one batch.
+            # A shape-boundary item is CARRIED into the next iteration as
+            # its `first` — folder datasets decode from disk on every
+            # test_item call, so re-loading it would double boundary I/O.
             group = [first]
             while (
                 len(group) < batch_size
@@ -870,6 +905,7 @@ class DenoiserTrainer:
                     indices[idx + len(group)], pad_multiple=32, square=square
                 )
                 if nxt["inp"].shape != group[0]["inp"].shape:
+                    carried = nxt
                     break
                 group.append(nxt)
 

@@ -75,3 +75,52 @@ def test_lr_schedule():
     assert compute_ramped_lrate(1000, iters, 0.7, 0.2, 1e-4) == pytest.approx(
         0.0, abs=1e-12
     )
+
+
+def test_lr_flag_is_live():
+    """--lr must change the trained LR (the reference parses it into cfg
+    and then ignores it, hardcoding 1e-4 — a documented quirk we fix).
+    The cfg default carries the reference's EFFECTIVE base LR."""
+    from spr_pick_tpu.params import StateValue
+    from spr_pick_tpu.train import DenoiserTrainer
+
+    c = cfg.base()
+    assert c[ConfigValue.LEARNING_RATE] == pytest.approx(1e-4)
+    c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    c[ConfigValue.NOISE_STYLE] = "gauss"
+    cfg.infer(c, model_only=True)
+
+    c2 = dict(c)
+    c2[ConfigValue.LEARNING_RATE] = 5e-5
+
+    t1 = DenoiserTrainer(c, mode="joint")
+    t2 = DenoiserTrainer(c2, mode="joint")
+    assert t1.base_learning_rate == pytest.approx(1e-4)
+    assert t2.base_learning_rate == pytest.approx(5e-5)
+    # The whole schedule scales linearly with the base LR.
+    it = c[ConfigValue.ITERATIONS] // 2
+    t1.state[StateValue.ITERATION] = it
+    t2.state[StateValue.ITERATION] = it
+    assert t2.learning_rate == pytest.approx(t1.learning_rate * 0.5)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(t2._scan_lrs(it, 3, 4)),
+        np.asarray(t1._scan_lrs(it, 3, 4)) * 0.5, rtol=1e-6,
+    )
+
+
+def test_importer_maps_dead_reference_lr():
+    """Reference checkpoints store cfg LEARNING_RATE=1e-5 but were
+    TRAINED at the hardcoded 1e-4; the importer maps the dead default to
+    the effective value (an explicit non-default value passes through)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from import_reference_checkpoint import convert_cfg
+
+    out = convert_cfg({ConfigValue.LEARNING_RATE: 1e-5})
+    assert out[ConfigValue.LEARNING_RATE] == pytest.approx(1e-4)
+    out = convert_cfg({ConfigValue.LEARNING_RATE: 3e-5})
+    assert out[ConfigValue.LEARNING_RATE] == pytest.approx(3e-5)

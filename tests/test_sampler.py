@@ -1,6 +1,7 @@
 """Stratified PU sampler tests: packed index ABI, stratification, margins."""
 
 import numpy as np
+import pytest
 
 from spr_pick_tpu.data.sampler import (
     FixedLengthSampler,
@@ -135,3 +136,22 @@ def test_sampler_state_roundtrips_through_pickle(tmp_path):
     )
     s2.load_state_dict(pickle.loads(blob))
     np.testing.assert_array_equal(s2.sample_batch(64), s.sample_batch(64))
+
+
+def test_stratified_sampler_empty_p_stratum_never_drawn():
+    """Micrographs whose labelled particles ALL fall inside the border
+    margins produce an empty P stratum; it must be reweighted away, not
+    indexed (the reference crashes with IndexError here)."""
+    h, w = 300, 300
+    lab = np.zeros((h, w), np.float32)
+    lab[10, 10] = 1  # inside margin_lo=72 -> excluded from P
+    s = StratifiedCoordinateSampler([[lab]], balance=0.5, size=64, random=np.random.RandomState(0))
+    drawn = [next(s) for _ in range(64)]
+    assert len(drawn) == 64  # no crash; only the U stratum is drawn
+    assert s.weights[0] == 0.0 and s.weights[1] > 0
+
+
+def test_stratified_sampler_all_empty_raises():
+    lab = np.zeros((40, 40), np.float32)  # smaller than the margin frame
+    with pytest.raises(ValueError, match="no usable coordinates"):
+        StratifiedCoordinateSampler([[lab]], balance=0.5, size=8, random=np.random.RandomState(0))

@@ -45,6 +45,12 @@ def convert_cfg(ref_cfg) -> dict:
         tname = type(value).__name__
         if tname in enum_types:
             value = enum_types[tname][value.name]
+        if our_key == p.ConfigValue.LEARNING_RATE and value == 1e-5:
+            # The reference stores its dead 1e-5 default but TRAINS at
+            # the hardcoded 1e-4 (spr_pick/train.py:441); map to what the
+            # checkpoint was actually trained with, since this framework
+            # reads the cfg value for real.
+            value = 1e-4
         out[our_key] = value
     return out
 
