@@ -33,9 +33,11 @@ ImageLike = Union[str, np.ndarray]
 class Picker:
     """Load a checkpoint once, then pick/denoise micrographs.
 
-    ``checkpoint``: `.training` (full state) or `.wt` (weights+cfg) file,
-    including checkpoints imported from the reference via
-    tools/import_reference_checkpoint.py.
+    ``checkpoint``: `.training` (full state) or `.wt` (weights+cfg) file.
+    Raw reference (PyTorch) checkpoints load directly — the loader sniffs
+    the torch magic and converts in-process (needs torch + the reference
+    package importable; see docs/MIGRATION.md) — or convert once offline
+    via tools/import_reference_checkpoint.py.
 
     ``nms_radius`` defaults to the checkpoint cfg's NMS value,
     ``threshold`` to the product's 0.02 heatmap floor, ``border`` to the

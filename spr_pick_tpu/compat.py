@@ -194,3 +194,175 @@ def trainable_static_from_reference(sd: Dict) -> Tuple[Dict, Dict]:
     if est is not None:
         trainable["l_params"] = {"estimated_sigma": np.asarray(est)}
     return trainable, static
+
+
+def convert_cfg(ref_cfg) -> Dict:
+    """Reference enum-keyed cfg -> this framework's cfg (matched by member
+    name; unknown keys dropped, enum values remapped by name)."""
+    from spr_pick_tpu import cfg as cfg_mod
+    from spr_pick_tpu import params as p
+
+    out = cfg_mod.base()
+    enum_types = {
+        "NoiseAlgorithm": p.NoiseAlgorithm,
+        "NoiseValue": p.NoiseValue,
+        "Pipeline": p.Pipeline,
+        "DatasetType": p.DatasetType,
+    }
+    for key, value in ref_cfg.items():
+        key_name = getattr(key, "name", str(key))
+        try:
+            our_key = p.ConfigValue[key_name]
+        except KeyError:
+            continue
+        tname = type(value).__name__
+        if tname in enum_types:
+            value = enum_types[tname][value.name]
+        if our_key == p.ConfigValue.LEARNING_RATE and value == 1e-5:
+            # The reference stores its dead 1e-5 default but TRAINS at the
+            # hardcoded 1e-4 (spr_pick/train.py:441); map to what the
+            # checkpoint was actually trained with, since this framework
+            # reads the cfg value for real.
+            value = 1e-4
+        out[our_key] = value
+    return out
+
+
+def _import_reference_package() -> bool:
+    """Best-effort import of the reference `spr_pick` package, needed only
+    to unpickle its enum/cfg classes from torch checkpoints.
+
+    Plain ``import spr_pick`` first (the normal case in an environment
+    migrating from the reference).  On failure, retry with the reference's
+    optional runtime deps stubbed (colorlog/torchvision/... are imported by
+    its package ``__init__`` but irrelevant to unpickling) and, if set,
+    ``$SPR_PICK_REFERENCE_PATH`` (a directory containing the ``spr_pick``
+    package, e.g. a git checkout) prepended to ``sys.path``.
+    """
+    import importlib
+    import os
+    import sys
+    import types
+
+    try:
+        import spr_pick  # noqa: F401
+
+        return True
+    except Exception:
+        pass
+
+    def ensure(name: str):
+        # Never stub a module that is really installed.
+        if name in sys.modules:
+            return sys.modules[name]
+        try:
+            return importlib.import_module(name)
+        except ImportError:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+            return mod
+
+    for name in ("cv2", "imagesize", "h5py"):
+        ensure(name)
+    colorlog = ensure("colorlog")
+    if not getattr(colorlog, "__file__", None):
+        colorlog.ColoredFormatter = object
+    ct = ensure("colored_traceback")
+    if not getattr(ct, "__file__", None):
+        ct.Colorizer = object
+    tv = ensure("torchvision")
+    if not getattr(tv, "__file__", None):
+        for sub in ("transforms", "utils", "datasets"):
+            mod = types.ModuleType(f"torchvision.{sub}")
+            setattr(tv, sub, mod)
+            sys.modules[f"torchvision.{sub}"] = mod
+        tf = types.ModuleType("torchvision.transforms.functional")
+        tv.transforms.functional = tf
+        sys.modules["torchvision.transforms.functional"] = tf
+        folder = types.ModuleType("torchvision.datasets.folder")
+        folder.default_loader = None
+        folder.IMG_EXTENSIONS = []
+        tv.datasets.folder = folder
+        sys.modules["torchvision.datasets.folder"] = folder
+
+    ref_path = os.environ.get("SPR_PICK_REFERENCE_PATH")
+    if (
+        ref_path
+        and os.path.isdir(os.path.join(ref_path, "spr_pick"))
+        and ref_path not in sys.path
+    ):
+        sys.path.insert(0, ref_path)
+    try:
+        import spr_pick  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def load_reference_checkpoint(path: str, mode: str = "joint") -> Dict:
+    """Load a reference (PyTorch) `.training`/`.wt` checkpoint and return it
+    converted to this framework's checkpoint-dict schema (the same dicts
+    `utils.checkpoint.save_training/save_weights` pickle), so the evaluator,
+    Picker and `joint eval`/`joint pick` can consume reference checkpoints
+    directly — no separate conversion step.
+
+    Unpickling needs `torch` plus the reference `spr_pick` package (its cfg
+    is keyed by the reference's own enum classes, train.py:963-982).  Both
+    are present in any environment migrating *from* the reference; when they
+    are not, a RuntimeError points at tools/import_reference_checkpoint.py,
+    which can stub the reference's optional deps for a one-off offline
+    conversion.
+    """
+    try:
+        import torch
+    except ImportError as exc:  # pragma: no cover - torch is baked in here
+        raise RuntimeError(
+            f"{path!r} looks like a reference (PyTorch) checkpoint but torch "
+            "is not importable; install torch (CPU is enough) or convert "
+            "offline with tools/import_reference_checkpoint.py"
+        ) from exc
+    _import_reference_package()
+    try:
+        state = torch.load(path, map_location="cpu", weights_only=False)
+    except ModuleNotFoundError as exc:
+        raise RuntimeError(
+            f"{path!r} is a reference (PyTorch) checkpoint whose pickle "
+            f"references the module {exc.name!r} (the reference package or "
+            "one of its deps); install it, point SPR_PICK_REFERENCE_PATH at "
+            "a checkout containing the spr_pick package, or convert offline "
+            "with tools/import_reference_checkpoint.py"
+        ) from exc
+
+    if isinstance(state, dict) and "denoiser" in state:
+        # .training format (train.py:963-982).  Optimizer state and torch
+        # RNG are not carried over (the reference itself skips optimizer
+        # restore on resume, train.py:998-1000).
+        sd = state["denoiser"]
+        cfg = convert_cfg(sd.get("cfg", {}))
+        iteration = 0
+        for k, v in state.get("state", {}).items():
+            if getattr(k, "name", "") == "ITERATION":
+                iteration = int(v)
+        trainable, static = trainable_static_from_reference(sd)
+        return {
+            "format": "spr_pick_tpu.training.v1",
+            "cfg": cfg,
+            "mode": mode,
+            "iteration": iteration,
+            "trainable": trainable,
+            "static": static,
+            "opt_state": None,
+            "rng_key": None,
+            "extra": {},
+        }
+    # .wt: flat state_dict with embedded cfg (denoiser_v2.py:851-855).
+    cfg = convert_cfg(state.get("cfg", {}))
+    trainable, static = trainable_static_from_reference(state)
+    return {
+        "format": "spr_pick_tpu.wt.v1",
+        "cfg": cfg,
+        "mode": mode,
+        "trainable": trainable,
+        "static": static,
+    }

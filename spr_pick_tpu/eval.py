@@ -26,7 +26,7 @@ class DenoiserEvaluator(DenoiserTrainer):
         super().__init__({}, mode=mode, runs_dir=runs_dir)
         if not os.path.exists(state_path):
             raise FileNotFoundError(f"Checkpoint does not exist: {state_path}")
-        state = ckpt.load(state_path)
+        state = ckpt.load(state_path, mode=mode)
         fmt = state.get("format", "")
         if "training" in fmt or "opt_state" in state:
             self.load_state_dict(state)

@@ -1218,7 +1218,7 @@ class DenoiserTrainer:
         keep the field optional)."""
         state = path_or_state
         if isinstance(state, str):
-            state = ckpt.load(state)
+            state = ckpt.load(state, mode=self.mode)
         self.cfg = state["cfg"]
         self.mode = state.get("mode", self.mode) or self.mode
         # Loss weights travel with the cfg (single source of truth): a
@@ -1263,7 +1263,7 @@ class DenoiserTrainer:
         """Load a `.wt` weights checkpoint (eval path)."""
         state = path_or_state
         if isinstance(state, str):
-            state = ckpt.load(state)
+            state = ckpt.load(state, mode=self.mode)
         self.cfg = state["cfg"]
         self.mode = state.get("mode", self.mode) or self.mode
         self.alpha = float(self.cfg.get(ConfigValue.ALPHA, self.alpha))

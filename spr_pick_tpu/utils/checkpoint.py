@@ -69,9 +69,46 @@ def save_weights(path: str, trainable, static, cfg: Dict, mode: str):
         pickle.dump(state, f, protocol=4)
 
 
-def load(path: str) -> Dict[str, Any]:
+_TORCH_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C  # torch legacy save, first pickle
+
+
+def load(path: str, mode: str = "joint") -> Dict[str, Any]:
+    """Load a checkpoint, auto-detecting reference (PyTorch) files.
+
+    Native `.training`/`.wt` files are plain numpy-pytree pickles.  A
+    reference checkpoint (torch>=1.6 zip archive, or the legacy torch
+    multi-pickle stream) is detected by its magic and converted in-process
+    via `compat.load_reference_checkpoint`, so `joint eval --model`,
+    `joint pick` and `Picker(...)` accept reference checkpoints directly.
+    ``mode`` is only used for converted reference files (they do not record
+    a train mode; parity with tools/import_reference_checkpoint.py --mode).
+    """
     with open(path, "rb") as f:
-        return pickle.load(f)
+        head = f.read(4)
+    if head[:2] == b"PK":  # zipfile: torch>=1.6 serialization
+        from spr_pick_tpu.compat import load_reference_checkpoint
+
+        return load_reference_checkpoint(path, mode=mode)
+    try:
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+    except Exception as exc:
+        # Not our pickle; the torch legacy format needs torch's unpickler.
+        try:
+            from spr_pick_tpu.compat import load_reference_checkpoint
+
+            return load_reference_checkpoint(path, mode=mode)
+        except Exception:
+            raise ValueError(
+                f"Could not load checkpoint {path!r}: not a spr_pick_tpu "
+                "pickle, and loading it as a reference torch checkpoint "
+                "also failed (see exception chain)"
+            ) from exc
+    if state == _TORCH_LEGACY_MAGIC:
+        from spr_pick_tpu.compat import load_reference_checkpoint
+
+        return load_reference_checkpoint(path, mode=mode)
+    return state
 
 
 def find_latest_training(run_dir: str, subdir: str = "training_jt") -> str:

@@ -56,11 +56,7 @@ def test_cfg_conversion():
     if not reference_available():
         pytest.skip("reference unavailable")
     import_reference()
-    import sys
-    import os
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from import_reference_checkpoint import convert_cfg
+    from spr_pick_tpu.compat import convert_cfg
 
     import spr_pick.cfg as ref_cfg_mod
     from spr_pick.params import ConfigValue as RefCV
@@ -76,3 +72,65 @@ def test_cfg_conversion():
     assert out[ConfigValue.ITERATIONS] == 12345
     assert out[ConfigValue.ALGORITHM] == NoiseAlgorithm.SELFSUPERVISED_DENOISING
     assert out[ConfigValue.BB] == 24
+
+
+def test_evaluator_loads_reference_checkpoint_directly(tmp_path):
+    """A raw torch .wt from the reference loads with NO conversion step:
+    ckpt.load sniffs the torch zip magic and converts in-process."""
+    try:
+        from tests.reference_compat import import_reference, reference_available
+    except ImportError:
+        pytest.skip("reference helpers unavailable")
+    if not reference_available():
+        pytest.skip("reference or torch unavailable")
+    import_reference()
+    import torch
+
+    import spr_pick.cfg as ref_cfg_mod
+    from spr_pick.models.joint_network_v2 import JointNetwork as RefJoint
+    from spr_pick.params import ConfigValue as RefCV
+    from spr_pick.params import NoiseAlgorithm as RefNA
+    from spr_pick.params import NoiseValue as RefNV
+
+    torch.manual_seed(0)
+    ref_model = RefJoint(in_channels=1, out_channels=2, blindspot=True, detect=True)
+    ref_cfg = ref_cfg_mod.base()
+    ref_cfg[RefCV.ALGORITHM] = RefNA.SELFSUPERVISED_DENOISING
+    ref_cfg[RefCV.NOISE_VALUE] = RefNV.UNKNOWN_CONSTANT
+    ref_cfg[RefCV.NOISE_STYLE] = "gauss"
+    sd = {
+        f"models.denoiser_model.{k}": v for k, v in ref_model.state_dict().items()
+    }
+    sd["l_params.estimated_sigma"] = torch.zeros((1, 1, 1, 1))
+    sd["cfg"] = ref_cfg
+    wt_path = str(tmp_path / "final-ref.wt")
+    torch.save(sd, wt_path)  # torch>=1.6 zip archive
+
+    from spr_pick_tpu.utils import checkpoint as ckpt
+
+    state = ckpt.load(wt_path)
+    assert state["format"] == "spr_pick_tpu.wt.v1"
+
+    from spr_pick_tpu.eval import DenoiserEvaluator
+    from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm
+
+    ev = DenoiserEvaluator(wt_path, runs_dir=str(tmp_path / "runs"))
+    assert ev.cfg[ConfigValue.ALGORITHM] == NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    k = np.asarray(
+        ev.train_state.trainable["model"]["denoise_branch"]["enc1_conv0"][
+            "conv"]["kernel"]
+    )
+    ref_k = sd[
+        "models.denoiser_model.denoise_branch.encode_block_1.0.weight"
+    ].numpy()
+    np.testing.assert_array_equal(k, np.transpose(ref_k, (2, 3, 1, 0)))
+
+
+def test_load_rejects_garbage_with_clear_error(tmp_path):
+    bad = str(tmp_path / "junk.training")
+    with open(bad, "wb") as f:
+        f.write(b"\x00\x01not a checkpoint at all")
+    from spr_pick_tpu.utils import checkpoint as ckpt
+
+    with pytest.raises(ValueError, match="not a spr_pick_tpu"):
+        ckpt.load(bad)
