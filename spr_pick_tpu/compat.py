@@ -29,6 +29,7 @@ scale/bias with running_mean/var into the batch_stats collection.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -251,6 +252,14 @@ def _import_reference_package() -> bool:
     except Exception:
         pass
 
+    # Every stub we install is recorded here and deleted from sys.modules
+    # in the finally block below: once `import spr_pick` has run, the
+    # reference package holds its own references to whatever it imported,
+    # so unpickling keeps working while the process namespace stays clean
+    # (a later real `import h5py`/`import cv2` in this process must not
+    # silently get an empty module).
+    stubbed: list = []
+
     def ensure(name: str):
         # Never stub a module that is really installed.
         if name in sys.modules:
@@ -260,44 +269,52 @@ def _import_reference_package() -> bool:
         except ImportError:
             mod = types.ModuleType(name)
             sys.modules[name] = mod
+            stubbed.append(name)
             return mod
 
-    for name in ("cv2", "imagesize", "h5py"):
-        ensure(name)
-    colorlog = ensure("colorlog")
-    if not getattr(colorlog, "__file__", None):
-        colorlog.ColoredFormatter = object
-    ct = ensure("colored_traceback")
-    if not getattr(ct, "__file__", None):
-        ct.Colorizer = object
-    tv = ensure("torchvision")
-    if not getattr(tv, "__file__", None):
-        for sub in ("transforms", "utils", "datasets"):
-            mod = types.ModuleType(f"torchvision.{sub}")
-            setattr(tv, sub, mod)
-            sys.modules[f"torchvision.{sub}"] = mod
-        tf = types.ModuleType("torchvision.transforms.functional")
-        tv.transforms.functional = tf
-        sys.modules["torchvision.transforms.functional"] = tf
-        folder = types.ModuleType("torchvision.datasets.folder")
-        folder.default_loader = None
-        folder.IMG_EXTENSIONS = []
-        tv.datasets.folder = folder
-        sys.modules["torchvision.datasets.folder"] = folder
-
-    ref_path = os.environ.get("SPR_PICK_REFERENCE_PATH")
-    if (
-        ref_path
-        and os.path.isdir(os.path.join(ref_path, "spr_pick"))
-        and ref_path not in sys.path
-    ):
-        sys.path.insert(0, ref_path)
     try:
-        import spr_pick  # noqa: F401
+        for name in ("cv2", "imagesize", "h5py"):
+            ensure(name)
+        colorlog = ensure("colorlog")
+        if not getattr(colorlog, "__file__", None):
+            colorlog.ColoredFormatter = object
+        ct = ensure("colored_traceback")
+        if not getattr(ct, "__file__", None):
+            ct.Colorizer = object
+        tv = ensure("torchvision")
+        if not getattr(tv, "__file__", None):
+            for sub in ("transforms", "utils", "datasets"):
+                mod = types.ModuleType(f"torchvision.{sub}")
+                setattr(tv, sub, mod)
+                sys.modules[f"torchvision.{sub}"] = mod
+                stubbed.append(f"torchvision.{sub}")
+            tf = types.ModuleType("torchvision.transforms.functional")
+            tv.transforms.functional = tf
+            sys.modules["torchvision.transforms.functional"] = tf
+            stubbed.append("torchvision.transforms.functional")
+            folder = types.ModuleType("torchvision.datasets.folder")
+            folder.default_loader = None
+            folder.IMG_EXTENSIONS = []
+            tv.datasets.folder = folder
+            sys.modules["torchvision.datasets.folder"] = folder
+            stubbed.append("torchvision.datasets.folder")
 
-        return True
-    except Exception:
-        return False
+        ref_path = os.environ.get("SPR_PICK_REFERENCE_PATH")
+        if (
+            ref_path
+            and os.path.isdir(os.path.join(ref_path, "spr_pick"))
+            and ref_path not in sys.path
+        ):
+            sys.path.insert(0, ref_path)
+        try:
+            import spr_pick  # noqa: F401
+
+            return True
+        except Exception:
+            return False
+    finally:
+        for name in stubbed:
+            sys.modules.pop(name, None)
 
 
 def load_reference_checkpoint(path: str, mode: str = "joint") -> Dict:
@@ -334,6 +351,19 @@ def load_reference_checkpoint(path: str, mode: str = "joint") -> Dict:
             "with tools/import_reference_checkpoint.py"
         ) from exc
 
+    def _resolve_mode(trainable: Dict) -> str:
+        # A checkpoint with no detector weights cannot run joint mode; a
+        # directly-loaded denoise-only reference checkpoint would otherwise
+        # inherit the caller's default mode="joint" and fail confusingly at
+        # apply time.  (The offline converter exposes --mode for overrides.)
+        if mode == "joint" and "detector" not in trainable.get("model", {}):
+            logging.getLogger("compat").warning(
+                "%s has no detector weights; loading in 'denoise' mode "
+                "instead of 'joint'", path,
+            )
+            return "denoise"
+        return mode
+
     if isinstance(state, dict) and "denoiser" in state:
         # .training format (train.py:963-982).  Optimizer state and torch
         # RNG are not carried over (the reference itself skips optimizer
@@ -348,7 +378,7 @@ def load_reference_checkpoint(path: str, mode: str = "joint") -> Dict:
         return {
             "format": "spr_pick_tpu.training.v1",
             "cfg": cfg,
-            "mode": mode,
+            "mode": _resolve_mode(trainable),
             "iteration": iteration,
             "trainable": trainable,
             "static": static,
@@ -362,7 +392,7 @@ def load_reference_checkpoint(path: str, mode: str = "joint") -> Dict:
     return {
         "format": "spr_pick_tpu.wt.v1",
         "cfg": cfg,
-        "mode": mode,
+        "mode": _resolve_mode(trainable),
         "trainable": trainable,
         "static": static,
     }

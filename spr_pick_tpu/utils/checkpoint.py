@@ -98,12 +98,17 @@ def load(path: str, mode: str = "joint") -> Dict[str, Any]:
             from spr_pick_tpu.compat import load_reference_checkpoint
 
             return load_reference_checkpoint(path, mode=mode)
-        except Exception:
+        except Exception as ref_exc:
+            # Chain from the reference-load failure: it carries the
+            # actionable message (missing module name, the
+            # SPR_PICK_REFERENCE_PATH / offline-converter guidance).  The
+            # native-pickle error is summarized inline so neither is lost.
             raise ValueError(
                 f"Could not load checkpoint {path!r}: not a spr_pick_tpu "
-                "pickle, and loading it as a reference torch checkpoint "
-                "also failed (see exception chain)"
-            ) from exc
+                f"pickle ({type(exc).__name__}: {exc}), and loading it as "
+                "a reference torch checkpoint also failed (see exception "
+                "chain)"
+            ) from ref_exc
     if state == _TORCH_LEGACY_MAGIC:
         from spr_pick_tpu.compat import load_reference_checkpoint
 

@@ -114,11 +114,7 @@ def test_importer_maps_dead_reference_lr():
     """Reference checkpoints store cfg LEARNING_RATE=1e-5 but were
     TRAINED at the hardcoded 1e-4; the importer maps the dead default to
     the effective value (an explicit non-default value passes through)."""
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from import_reference_checkpoint import convert_cfg
+    from spr_pick_tpu.compat import convert_cfg
 
     out = convert_cfg({ConfigValue.LEARNING_RATE: 1e-5})
     assert out[ConfigValue.LEARNING_RATE] == pytest.approx(1e-4)

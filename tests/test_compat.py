@@ -134,3 +134,70 @@ def test_load_rejects_garbage_with_clear_error(tmp_path):
 
     with pytest.raises(ValueError, match="not a spr_pick_tpu"):
         ckpt.load(bad)
+
+
+def test_import_reference_leaves_no_stub_modules():
+    """_import_reference_package must not poison sys.modules: any stub it
+    installs for the reference's optional deps is removed again once the
+    import attempt finishes (ADVICE r3: a lingering empty `h5py`/`cv2` stub
+    degrades later real imports in the same process)."""
+    import sys
+
+    from spr_pick_tpu.compat import _import_reference_package
+
+    candidates = [
+        "cv2", "imagesize", "h5py", "colorlog", "colored_traceback",
+        "torchvision", "torchvision.transforms",
+        "torchvision.transforms.functional", "torchvision.datasets",
+        "torchvision.datasets.folder", "torchvision.utils",
+    ]
+    before = {n: sys.modules.get(n) for n in candidates}
+    _import_reference_package()
+    for n in candidates:
+        after = sys.modules.get(n)
+        if before[n] is not None:
+            continue  # was already (really) imported; not ours to touch
+        assert after is None or getattr(after, "__file__", None), (
+            f"stub module {n!r} left behind in sys.modules"
+        )
+
+
+def test_denoise_only_reference_checkpoint_infers_denoise_mode(tmp_path):
+    """A reference checkpoint with NO detector weights must not load as
+    mode='joint' (it would fail confusingly at apply time); the loader
+    downgrades to 'denoise' and warns (ADVICE r3)."""
+    torch = pytest.importorskip("torch")
+
+    from spr_pick_tpu.compat import _UNET5, load_reference_checkpoint
+
+    sd = {}
+    mp = "models.denoiser_model.denoise_branch."
+    for ref_name in _UNET5:
+        o = 2 if ref_name == "output_conv" else 48
+        sd[mp + ref_name + ".weight"] = torch.zeros(o, 16, 3, 3)
+        sd[mp + ref_name + ".bias"] = torch.zeros(o)
+    sd["cfg"] = {}
+    wt_path = str(tmp_path / "denoise-only.wt")
+    torch.save(sd, wt_path)
+
+    state = load_reference_checkpoint(wt_path)  # default mode="joint"
+    assert state["mode"] == "denoise"
+    assert "detector" not in state["trainable"]["model"]
+
+
+def test_checkpoint_load_error_chains_reference_failure(tmp_path):
+    """The displayed exception chain must carry the reference-load failure
+    (it holds the actionable guidance), not only the native-pickle error."""
+    bad = str(tmp_path / "junk2.training")
+    with open(bad, "wb") as f:
+        f.write(b"\x00\x01not a checkpoint at all")
+    from spr_pick_tpu.utils import checkpoint as ckpt
+
+    try:
+        ckpt.load(bad)
+        raise AssertionError("expected ValueError")
+    except ValueError as exc:
+        # __cause__ is the reference-load failure; the native error's text
+        # is folded into the message.
+        assert exc.__cause__ is not None
+        assert "not a spr_pick_tpu pickle (" in str(exc)
