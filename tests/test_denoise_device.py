@@ -279,12 +279,22 @@ def test_trainer_scan_recipe_matches_pipeline(tmp_path, rng, monkeypatch):
 
     captured = {}
     real = steps_mod.make_denoise_scan
+    real_sharded = steps_mod.make_denoise_scan_sharded
 
     def recording(*args, **kwargs):
         captured.update(kwargs)
         return real(*args, **kwargs)
 
+    def recording_sharded(*args, **kwargs):
+        # Under >1 visible devices the trainer auto-meshes and builds the
+        # sharded variant; the recipe contract is the same.
+        captured.update({k: v for k, v in kwargs.items() if k != "mesh"})
+        return real_sharded(*args, **kwargs)
+
     monkeypatch.setattr(steps_mod, "make_denoise_scan", recording)
+    monkeypatch.setattr(
+        steps_mod, "make_denoise_scan_sharded", recording_sharded
+    )
 
     cfg = cfg_mod.base()
     cfg[ConfigValue.ALGORITHM] = NoiseAlgorithm.NOISE_TO_CLEAN

@@ -165,32 +165,34 @@ def main():
     scan = make_train_scan(den, alpha=0.75, tau=0.01, crop=64)
     n_imgs, hw = 4, 512
     images = jnp.asarray(rng.rand(n_imgs, hw, hw), jnp.float32)
-    hms = jnp.asarray((rng.rand(n_imgs, hw, hw) > 0.99).astype(np.float32) * 2 - 1)
     flat = jnp.asarray(
         rng.randint(0, n_imgs, (TRAIN_K, TRAIN_BATCH)), jnp.int32
     )
     ys = jnp.asarray(rng.randint(32, hw - 32, (TRAIN_K, TRAIN_BATCH)), jnp.int32)
     xs = jnp.asarray(rng.randint(32, hw - 32, (TRAIN_K, TRAIN_BATCH)), jnp.int32)
+    labels = jnp.asarray(
+        (rng.rand(TRAIN_K, TRAIN_BATCH) > 0.99).astype(np.float32) * 2 - 1
+    )
     lrs = jnp.full((TRAIN_K,), 1e-4, jnp.float32)
 
     # non-donating wrapper so repeated timing calls reuse the same state
-    def scan_nodonate(state, images, hms, flat, ys, xs, lrs, key):
+    def scan_nodonate(state, images, flat, ys, xs, labels, lrs, key):
         return scan(
             jax.tree_util.tree_map(jnp.copy, state),
-            images, hms, flat, ys, xs, lrs, key,
+            images, flat, ys, xs, labels, lrs, key,
         )
 
-    lowered = scan.lower(state, images, hms, flat, ys, xs, lrs, key)
+    lowered = scan.lower(state, images, flat, ys, xs, labels, lrs, key)
     ca = lowered.compile().cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
     for _ in range(2):
-        st2, m = scan_nodonate(state, images, hms, flat, ys, xs, lrs, key)
+        st2, m = scan_nodonate(state, images, flat, ys, xs, labels, lrs, key)
         float(np.asarray(m["loss"])[-1])
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        st2, m = scan_nodonate(state, images, hms, flat, ys, xs, lrs, key)
+        st2, m = scan_nodonate(state, images, flat, ys, xs, labels, lrs, key)
         float(np.asarray(m["loss"])[-1])
     dt = (time.time() - t0) / reps
     flops = float(ca.get("flops", 0.0))
