@@ -39,6 +39,10 @@ def _add_shared_args(parser: argparse.ArgumentParser, start: bool):
     parser.add_argument("--lr", "-lr", type=float, help="learning rate")
     parser.add_argument("--nms", "-nms", type=int,
                         help="non-maximum suppression radius")
+    parser.add_argument("--max_peaks", type=int,
+                        help="static per-map cap of the on-device NMS "
+                        "(default 2048); a warning is logged if any map "
+                        "hits it")
     parser.add_argument("--bb", "-bb", type=int,
                         help="bounding box radius of particles")
     parser.add_argument("--eval_interval", type=int)
@@ -107,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--runs_dir", default=cfg_mod.DEFAULT_RUN_DIR)
     ev.add_argument("--batch_size", type=int)
     ev.add_argument("--nms", "-nms", type=int)
+    ev.add_argument("--max_peaks", type=int,
+                    help="static per-map cap of the on-device NMS "
+                    "(default 2048); a warning is logged if any map "
+                    "hits it")
     ev.add_argument("--num", "-num", type=int)
     ev.add_argument(
         "--exclude_contam",
@@ -237,6 +245,8 @@ def run_train(args: Dict):
             cfg[ConfigValue.BB] = args["bb"]
         if args.get("nms") is not None:
             cfg[ConfigValue.NMS] = args["nms"]
+        if args.get("max_peaks") is not None:
+            cfg[ConfigValue.MAX_PEAKS] = args["max_peaks"]
         if args.get("noise_input"):
             if not args["dn_only"]:
                 # Only the denoise data plane (NoisyDataset analog) reads
@@ -279,6 +289,8 @@ def run_eval(args: Dict):
         evaluator.cfg[ConfigValue.TEST_MINIBATCH_SIZE] = args["batch_size"]
     if args.get("nms") is not None:
         evaluator.cfg[ConfigValue.NMS] = args["nms"]
+    if args.get("max_peaks") is not None:
+        evaluator.cfg[ConfigValue.MAX_PEAKS] = args["max_peaks"]
     if args.get("num") is not None:
         evaluator.cfg[ConfigValue.NUM_EVAL] = args["num"]
     if args.get("exclude_contam"):

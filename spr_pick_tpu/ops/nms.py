@@ -14,12 +14,32 @@ shards; only the <=few-hundred picks ever travel to the host.
 
 from __future__ import annotations
 
+import logging
 from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("nms")
+
+
+def _warn_if_capped(counts, max_peaks: int) -> None:
+    """Loudly flag silent truncation: the reference's host NMS returns
+    EVERY peak above the floor (algorithms.py:59-103); the device kernels
+    carry a static ``max_peaks`` buffer, so a pathologically dense map
+    (early-training checkpoint, contamination-heavy micrograph) hitting the
+    cap would otherwise drop picks without a trace."""
+    counts = np.atleast_1d(np.asarray(counts))
+    n_capped = int((counts >= max_peaks).sum())
+    if n_capped:
+        logger.warning(
+            "NMS pick list hit the max_peaks cap (%d) on %d of %d map(s); "
+            "picks beyond the cap were DROPPED — re-run with a larger "
+            "--max_peaks to get the full list",
+            max_peaks, n_capped, len(counts),
+        )
 
 
 @partial(jax.jit, static_argnames=("radius", "max_peaks"))
@@ -488,6 +508,7 @@ def nms_batch_trim(scores, coords, counts):
     counts = np.asarray(counts)
     scores = np.asarray(scores)
     coords = np.asarray(coords)
+    _warn_if_capped(counts, scores.shape[-1])
     return [
         (scores[i, : counts[i]], coords[i, : counts[i]])
         for i in range(scores.shape[0])
@@ -540,6 +561,7 @@ def nms_to_host(
         heatmap, radius, threshold, max_peaks
     )
     n = int(count)
+    _warn_if_capped(n, max_peaks)
     return np.asarray(scores[:n]), np.asarray(coords[:n])
 
 
