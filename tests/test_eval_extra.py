@@ -276,6 +276,69 @@ def test_eval_pipeline_mode_matches_sync(tmp_path, rng, monkeypatch):
         assert a == b, f"artifact {f} differs between pipeline modes"
 
 
+def test_threaded_export_matches_inline(tmp_path, rng, monkeypatch):
+    """The export thread pool (SPR_EXPORT_THREADS, r4) must produce
+    byte-identical artifacts to inline writes, and _evaluate must join the
+    pool before returning (every file on disk at return)."""
+    from spr_pick_tpu.data import mrc
+    from spr_pick_tpu.params import PipelineOutput
+    from spr_pick_tpu.train import DenoiserTrainer
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rows = []
+    for i in range(4):
+        img = rng.rand(96, 96).astype(np.float32)
+        mrc.write(str(img_dir / f"m{i}.mrc"), img)
+        rows.append(f"m{i}\t{img_dir / f'm{i}.mrc'}")
+    images_txt = tmp_path / "imgs.txt"
+    images_txt.write_text("image_name\tpath\n" + "\n".join(rows) + "\n")
+
+    c = cfg_mod.base()
+    c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    c[ConfigValue.NOISE_STYLE] = "gauss"
+    c[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
+    c[ConfigValue.TEST_MINIBATCH_SIZE] = 2
+    c[ConfigValue.NUM_EVAL] = 4
+    trainer = DenoiserTrainer(
+        c, mode="joint", alpha=0.75, tau=0.05, runs_dir=str(tmp_path / "runs")
+    )
+    trainer.new_target()
+    trainer.set_test_data(str(images_txt))
+    trainer.testset, trainer.test_sampler = trainer.test_data()
+
+    def fake_eval_step(state, batch, rng_key):
+        inp = jnp.asarray(batch["inp"])
+        return {
+            PipelineOutput.DETECT: inp,
+            PipelineOutput.IMG_DENOISED: inp * 0.5,
+        }
+
+    trainer._eval_step = fake_eval_step
+
+    def run(out_dir, threads):
+        monkeypatch.setenv("SPR_EXPORT_THREADS", str(threads))
+        trainer.reset_metrics(train=False)
+
+        def callback(idx, outputs, item):
+            trainer.save_image_outputs(
+                outputs, item, str(out_dir), "{name}_{desc}.png",
+                "{name}_{desc}.txt",
+            )
+
+        trainer._evaluate(output_callback=callback, picks_for_all=True)
+
+    run(tmp_path / "inline", 0)
+    run(tmp_path / "pooled", 4)
+    inline_files = sorted(os.listdir(tmp_path / "inline"))
+    pooled_files = sorted(os.listdir(tmp_path / "pooled"))
+    assert inline_files == pooled_files and len(inline_files) > 0
+    for f in inline_files:
+        a = (tmp_path / "inline" / f).read_bytes()
+        b = (tmp_path / "pooled" / f).read_bytes()
+        assert a == b, f"artifact {f} differs between export modes"
+
+
 def test_ssdn_three_channel_full_covariance(rng):
     """3-channel ssdn denoise-only path (full triangular-A covariance)."""
     c = cfg_mod.base()
