@@ -13,7 +13,13 @@ keeps stitched picks equal to the un-tiled forward's away from the score
 floor — validated on the REAL trained JointNetwork in
 tests/test_tiling.py::test_tiled_real_joint_model_pick_parity (pick-set
 hysteresis match after the product's 30 px border filter; tile-boundary
-heatmap deviation measures p99 ~0.01 on a 0..0.8 scale).
+heatmap deviation measures p99 ~0.01 on a 0..0.8 scale) and across
+random-init + partially-trained weight sets in
+tests/test_tiling.py::test_tiling_halo_multi_seed.
+
+Edge-tile windows are CLAMPED inside the image (shifted tiles), never
+zero-filled past it — see extract_tiles for why that is load-bearing for
+boundary exactness.
 """
 
 from __future__ import annotations
@@ -32,40 +38,61 @@ def plan_tiles(h: int, w: int, tile: int) -> Tuple[int, int]:
     return math.ceil(h / tile), math.ceil(w / tile)
 
 
-def extract_tiles(image: np.ndarray, tile: int, halo: int) -> Tuple[np.ndarray, Tuple[int, int]]:
-    """(H, W) -> (T, tile+2h, tile+2h) reflect-padded overlapping tiles."""
+def extract_tiles(
+    image: np.ndarray, tile: int, halo: int
+) -> Tuple[np.ndarray, Tuple[int, int], np.ndarray]:
+    """(H, W) -> (T, win_y, win_x) overlapping windows, entirely in-image.
+
+    Window positions are CLAMPED to the image extent (shifted tiles) rather
+    than zero-filled beyond it.  This is load-bearing for boundary
+    exactness: a CNN's implicit zero padding stays zero at EVERY layer,
+    but an explicit zero-filled halo does not — the first conv's bias
+    turns it into nonzero "hallucinated" features that leak back into the
+    valid centre, so edge tiles would disagree with the direct (un-tiled)
+    forward in an ~RF/2 border band no matter how wide the halo (observed:
+    sigmoid heatmap flips 0.03 -> 0.99 on the border rows of a trained
+    JointNetwork).  With clamped windows the window edge coincides with
+    the image edge, the network's implicit padding happens at the true
+    boundary, and tiled == direct everywhere up to halo context decay.
+
+    Returns (tiles, (ny, nx), offsets) where offsets[k] = (oy, ox) is the
+    position of tile k's valid centre within its window (== halo for
+    interior tiles, smaller/larger where the window was clamped).
+    """
     h, w = image.shape
     ny, nx = plan_tiles(h, w, tile)
-    pad_h = ny * tile - h
-    pad_w = nx * tile - w
-    # Zero-fill beyond the image: matches the conv zero-padding the direct
-    # (un-tiled) forward sees at the image boundary (reflect padding makes
-    # edge tiles hallucinate mirrored content the direct path never sees).
-    padded = np.pad(image, ((halo, halo + pad_h), (halo, halo + pad_w)))
-    tiles = np.empty((ny * nx, tile + 2 * halo, tile + 2 * halo), image.dtype)
+    win_y = min(tile + 2 * halo, h)
+    win_x = min(tile + 2 * halo, w)
+    tiles = np.empty((ny * nx, win_y, win_x), image.dtype)
+    offsets = np.empty((ny * nx, 2), np.int64)
     k = 0
     for iy in range(ny):
+        wy = min(max(iy * tile - halo, 0), h - win_y)
         for ix in range(nx):
-            y0 = iy * tile
-            x0 = ix * tile
-            tiles[k] = padded[y0 : y0 + tile + 2 * halo, x0 : x0 + tile + 2 * halo]
+            wx = min(max(ix * tile - halo, 0), w - win_x)
+            tiles[k] = image[wy : wy + win_y, wx : wx + win_x]
+            offsets[k] = (iy * tile - wy, ix * tile - wx)
             k += 1
-    return tiles, (ny, nx)
+    return tiles, (ny, nx), offsets
 
 
-def stitch_tiles(tiles: np.ndarray, grid: Tuple[int, int], tile: int, halo: int,
-                 out_shape: Tuple[int, int]) -> np.ndarray:
-    """(T, tile+2h, tile+2h) centre crops -> (H, W)."""
+def stitch_tiles(tiles: np.ndarray, grid: Tuple[int, int], tile: int,
+                 offsets: np.ndarray, out_shape: Tuple[int, int]) -> np.ndarray:
+    """(T, win_y, win_x) valid-centre crops -> (H, W)."""
     ny, nx = grid
-    out = np.empty((ny * tile, nx * tile), tiles.dtype)
+    h, w = out_shape
+    out = np.empty((h, w), tiles.dtype)
     k = 0
     for iy in range(ny):
+        sy = min(tile, h - iy * tile)
         for ix in range(nx):
-            out[iy * tile : (iy + 1) * tile, ix * tile : (ix + 1) * tile] = tiles[
-                k, halo : halo + tile, halo : halo + tile
-            ]
+            sx = min(tile, w - ix * tile)
+            oy, ox = offsets[k]
+            out[iy * tile : iy * tile + sy, ix * tile : ix * tile + sx] = (
+                tiles[k, oy : oy + sy, ox : ox + sx]
+            )
             k += 1
-    return out[: out_shape[0], : out_shape[1]]
+    return out
 
 
 def tiled_dense_apply(
@@ -75,16 +102,30 @@ def tiled_dense_apply(
     halo: int = 96,
     mesh=None,
     max_batch: Optional[int] = None,
+    align: int = 1,
 ) -> Dict[str, np.ndarray]:
     """Run a dense per-pixel model over a large micrograph by tiles.
 
     `apply_tiles(batch NHWC) -> {name: NHWC}` must be shape-preserving
     (dense mode).  When `mesh` is given the tile batch is sharded over its
-    'data' axis so tiles run on all chips concurrently.
+    'data' axis so tiles run on all chips concurrently.  `align` pads
+    windows up to a multiple (the dense U-Net route needs 32) when a
+    clamped window is not already aligned.
     """
     h, w = image.shape
-    tiles, grid = extract_tiles(image.astype(np.float32), tile, halo)
+    tiles, grid, offsets = extract_tiles(image.astype(np.float32), tile, halo)
     t = tiles.shape[0]
+
+    # Clamped windows span the full image in any dimension smaller than
+    # tile+2*halo, which may not be a multiple of `align` (the dense
+    # route needs 32).  Pad those windows with zeros at bottom/right and
+    # crop after — exactly where (and how) the direct whole-image path
+    # pads-to-32, so boundary semantics stay consistent.
+    win_y, win_x = tiles.shape[1:]
+    pad_y = (-win_y) % align
+    pad_x = (-win_x) % align
+    if pad_y or pad_x:
+        tiles = np.pad(tiles, ((0, 0), (0, pad_y), (0, pad_x)))
 
     d = 1 if mesh is None else mesh.devices.size
     batch = max_batch or max(d, 1)
@@ -106,5 +147,64 @@ def tiled_dense_apply(
     stitched = {}
     for name, chunks in results.items():
         all_tiles = np.concatenate(chunks, axis=0)[:t]
-        stitched[name] = stitch_tiles(all_tiles, grid, tile, halo, (h, w))
+        if pad_y or pad_x:
+            all_tiles = all_tiles[:, :win_y, :win_x]
+        stitched[name] = stitch_tiles(all_tiles, grid, tile, offsets, (h, w))
     return stitched
+
+
+def calibrate_halo(
+    apply_tiles: Callable[[jnp.ndarray], Dict[str, jnp.ndarray]],
+    probe: np.ndarray,
+    tile: int = 1024,
+    tol: float = 0.02,
+    percentile: float = 99.0,
+    halos: Tuple[int, ...] = (32, 64, 96, 128, 160, 224, 320),
+    align: int = 1,
+    mesh=None,
+) -> Tuple[int, Dict[int, float]]:
+    """Derive the smallest sufficient halo from the MEASURED context decay.
+
+    The blind-spot U-Net's vertical receptive field is unbounded (shifted
+    convs accumulate downward context), so no fixed halo is provably
+    sufficient for every weight set — a partially-trained or adversarial
+    model can leak further than the default 96 (observed: p99 heatmap
+    deviation 0.03 at halo 96 on a 150-step high-LR model).  Instead of an
+    analytic bound, run the probe both directly and tiled at increasing
+    halos and return the first whose outputs agree within `tol` at
+    `percentile` (max over the apply fn's returned maps).
+
+    `probe` must be larger than tile + 2*halo for a halo to be a
+    meaningful candidate (otherwise the windows degenerate to the whole
+    probe and the comparison is vacuous); a central crop of a real
+    micrograph, sized so the direct forward is still affordable, is the
+    intended probe.  Returns (halo, {halo: measured deviation}).  Raises
+    ValueError when the probe is too small or no candidate meets `tol`.
+    """
+    probe = np.asarray(probe, np.float32)
+    direct_out = apply_tiles(jnp.asarray(probe[None, :, :, None]))
+    direct = {k: np.asarray(v)[0, :, :, 0] for k, v in direct_out.items()}
+    usable = [h for h in sorted(set(halos)) if tile + 2 * h < min(probe.shape)]
+    if not usable:
+        raise ValueError(
+            f"probe {probe.shape} too small to calibrate tile={tile}: "
+            f"needs min dim > {tile + 2 * min(halos)}"
+        )
+    curve: Dict[int, float] = {}
+    for halo in usable:
+        tiled = tiled_dense_apply(
+            apply_tiles, probe, tile=tile, halo=halo, mesh=mesh, align=align
+        )
+        dev = max(
+            float(np.percentile(np.abs(tiled[k] - direct[k]), percentile))
+            for k in direct
+        )
+        curve[halo] = dev
+        if dev <= tol:
+            return halo, curve
+    err = ValueError(
+        f"no candidate halo meets tol={tol} at p{percentile:g}: {curve} — "
+        "widen `halos` or lower the tile threshold for this model"
+    )
+    err.curve = curve  # callers can inspect the measured decay
+    raise err

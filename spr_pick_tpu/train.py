@@ -135,7 +135,12 @@ class DenoiserTrainer:
         # halo beyond the detector RF + U-Net decay (parallel/tiling.py).
         self.tile_eval_threshold = 2048
         self.tile_eval_size = 1024
+        # int, or "auto" to derive the halo from the model's MEASURED
+        # context decay on the first tiled micrograph (parallel/tiling.py
+        # calibrate_halo) — the fixed default suits the reference-style
+        # trained JointNetwork; atypical weight sets can leak further.
         self.tile_eval_halo = 96
+        self._auto_halo: Optional[int] = None
         self.trainset: Optional[MicrographDataset] = None
         self.patch_pipeline: Optional[DevicePatchPipeline] = None
         self.train_sampler = None
@@ -1091,14 +1096,55 @@ class DenoiserTrainer:
             }
 
         image = np.asarray(item["inp"])[0, :, :, 0]
+        halo = self.tile_eval_halo
+        if halo == "auto":
+            halo = self._calibrated_halo(apply_tiles, image)
         stitched = tiled_dense_apply(
             apply_tiles,
             image,
             tile=self.tile_eval_size,
-            halo=self.tile_eval_halo,
+            halo=halo,
             mesh=self.mesh,
+            align=32,
         )
         return {k: v[None, :, :, None] for k, v in stitched.items()}
+
+    def _calibrated_halo(self, apply_tiles, image: np.ndarray) -> int:
+        """tile_eval_halo="auto": derive the halo from the model's measured
+        context decay on a central crop of the first tiled micrograph
+        (calibrate_halo); cached for the rest of the run.  The measured
+        deviation includes the reparameterisation noise of a non-zero
+        sigma head, so `tol` bounds what the user actually gets, not just
+        the context leak."""
+        if self._auto_halo is not None:
+            return self._auto_halo
+        from spr_pick_tpu.parallel.tiling import calibrate_halo
+
+        tile = self.tile_eval_size
+        candidates = (32, 64, 96, 128, 160, 224, 320)
+        side = min(min(image.shape), tile + 2 * max(candidates) + 32)
+        side -= side % 32
+        y0 = (image.shape[0] - side) // 2
+        x0 = (image.shape[1] - side) // 2
+        probe = image[y0 : y0 + side, x0 : x0 + side]
+        try:
+            halo, curve = calibrate_halo(
+                apply_tiles, probe, tile=tile, halos=candidates,
+                align=32, mesh=self.mesh,
+            )
+            logger.info(
+                "tile halo calibrated to %d (p99 deviation curve: %s)",
+                halo, {k: round(v, 4) for k, v in curve.items()},
+            )
+        except ValueError as exc:
+            halo = max(
+                (h for h in candidates if tile + 2 * h < side), default=96
+            )
+            logger.warning(
+                "halo auto-calibration inconclusive (%s); using %d", exc, halo
+            )
+        self._auto_halo = halo
+        return halo
 
     def validation_output_callback(self, output_index: int):
         def callback(idx: int, outputs: Dict, item: Dict):
