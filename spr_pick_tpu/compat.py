@@ -229,7 +229,7 @@ def convert_cfg(ref_cfg) -> Dict:
     return out
 
 
-def _import_reference_package() -> bool:
+def _import_reference_package(keep_stubs: Optional[list] = None) -> bool:
     """Best-effort import of the reference `spr_pick` package, needed only
     to unpickle its enum/cfg classes from torch checkpoints.
 
@@ -239,6 +239,13 @@ def _import_reference_package() -> bool:
     its package ``__init__`` but irrelevant to unpickling) and, if set,
     ``$SPR_PICK_REFERENCE_PATH`` (a directory containing the ``spr_pick``
     package, e.g. a git checkout) prepended to ``sys.path``.
+
+    When ``keep_stubs`` is given, installed stubs are NOT removed here;
+    their names are appended to it and the CALLER must pop them from
+    ``sys.modules`` once its unpickle finishes — the unpickler lazily
+    ``__import__``s reference submodules on demand, and one not imported
+    by the package ``__init__`` may itself import a stubbed dep, so the
+    stubs have to outlive ``torch.load``, not just ``import spr_pick``.
     """
     import importlib
     import os
@@ -252,13 +259,12 @@ def _import_reference_package() -> bool:
     except Exception:
         pass
 
-    # Every stub we install is recorded here and deleted from sys.modules
-    # in the finally block below: once `import spr_pick` has run, the
-    # reference package holds its own references to whatever it imported,
-    # so unpickling keeps working while the process namespace stays clean
-    # (a later real `import h5py`/`import cv2` in this process must not
-    # silently get an empty module).
-    stubbed: list = []
+    # Every stub we install is recorded and deleted from sys.modules when
+    # we are done with it (finally block below, or the caller's unpickle
+    # via `keep_stubs`): the process namespace must end clean — a later
+    # real `import h5py`/`import cv2` in this process must not silently
+    # get an empty module.
+    stubbed: list = [] if keep_stubs is None else keep_stubs
 
     def ensure(name: str):
         # Never stub a module that is really installed.
@@ -313,8 +319,9 @@ def _import_reference_package() -> bool:
         except Exception:
             return False
     finally:
-        for name in stubbed:
-            sys.modules.pop(name, None)
+        if keep_stubs is None:
+            for name in stubbed:
+                sys.modules.pop(name, None)
 
 
 def load_reference_checkpoint(path: str, mode: str = "joint") -> Dict:
@@ -339,17 +346,28 @@ def load_reference_checkpoint(path: str, mode: str = "joint") -> Dict:
             "is not importable; install torch (CPU is enough) or convert "
             "offline with tools/import_reference_checkpoint.py"
         ) from exc
-    _import_reference_package()
+    import sys
+
+    # The stubs must span torch.load too: the unpickler lazily imports
+    # reference submodules (e.g. spr_pick.params) on demand, and one of
+    # them may import a stubbed dep.  They are removed right after.
+    stubbed: list = []
     try:
-        state = torch.load(path, map_location="cpu", weights_only=False)
-    except ModuleNotFoundError as exc:
-        raise RuntimeError(
-            f"{path!r} is a reference (PyTorch) checkpoint whose pickle "
-            f"references the module {exc.name!r} (the reference package or "
-            "one of its deps); install it, point SPR_PICK_REFERENCE_PATH at "
-            "a checkout containing the spr_pick package, or convert offline "
-            "with tools/import_reference_checkpoint.py"
-        ) from exc
+        _import_reference_package(keep_stubs=stubbed)
+        try:
+            state = torch.load(path, map_location="cpu", weights_only=False)
+        except ModuleNotFoundError as exc:
+            raise RuntimeError(
+                f"{path!r} is a reference (PyTorch) checkpoint whose pickle "
+                f"references the module {exc.name!r} (the reference package "
+                "or one of its deps); install it, point "
+                "SPR_PICK_REFERENCE_PATH at a checkout containing the "
+                "spr_pick package, or convert offline with "
+                "tools/import_reference_checkpoint.py"
+            ) from exc
+    finally:
+        for name in stubbed:
+            sys.modules.pop(name, None)
 
     def _resolve_mode(trainable: Dict) -> str:
         # A checkpoint with no detector weights cannot run joint mode; a

@@ -377,7 +377,13 @@ class DevicePatchPipeline:
         for n, im in enumerate(flat_images):
             stack[n, : im.shape[0], : im.shape[1]] = im
 
-        self.images_dev = jax.device_put(stack)
+        # Placement is LAZY: the host stack is kept until first device use so
+        # shard_over() can device_put per-chip shards straight from host
+        # memory — under a mesh the full stack must never transit (or
+        # transiently double on) a single chip's HBM, or the advertised
+        # |mesh|-fold dataset-capacity scaling silently caps at one chip.
+        self._images_host: Optional[np.ndarray] = stack
+        self._images_dev = None
         # Host references (no copy) to the dataset's heatmaps, for the
         # per-coordinate label point-reads.
         self._hms_host = flat_hms
@@ -398,6 +404,31 @@ class DevicePatchPipeline:
 
         self._gather = gather
         self._np_rng = np.random.RandomState(0)
+
+    @property
+    def images_dev(self):
+        """The (N, H, W) stack on device; placed (replicated/single-device)
+        on first access when shard_over() hasn't been called first."""
+        if self._images_dev is None:
+            self._images_dev = jax.device_put(self._images_host)
+            self._images_host = None
+        return self._images_dev
+
+    @images_dev.setter
+    def images_dev(self, value):
+        self._images_dev = value
+        self._images_host = None
+
+    def shard_over(self, mesh) -> None:
+        """Shard the stack over the mesh's data axis — N/|mesh| images per
+        chip.  When the stack is still host-resident (lazy placement) each
+        shard is device_put directly to its chip; the full stack never
+        occupies one device."""
+        from spr_pick_tpu.parallel.mesh import shard_stack
+
+        src = self._images_host if self._images_dev is None else self._images_dev
+        self._images_dev = shard_stack(src, mesh)
+        self._images_host = None
 
     def state_dict(self):
         """Flip-augment RNG state (resumable data plane)."""

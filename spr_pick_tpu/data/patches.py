@@ -137,7 +137,10 @@ class DeviceDenoisePipeline:
             stack[n, : im.shape[0], : im.shape[1]] = im
         self.heights = np.array([im.shape[0] for im in imgs], np.int32)
         self.widths = np.array([im.shape[1] for im in imgs], np.int32)
-        self.images_dev = jax.device_put(stack)
+        # Lazy placement (see DevicePatchPipeline): keep the host stack so
+        # shard_over() can put per-chip shards straight from host memory.
+        self._images_host: Optional[np.ndarray] = stack
+        self._images_dev = None
 
         self.rng = np.random.RandomState(seed)
         self._base_key = jax.random.PRNGKey(seed ^ 0x5EED)
@@ -159,6 +162,30 @@ class DeviceDenoisePipeline:
             )
 
         self._make_batch = make_batch
+
+    @property
+    def images_dev(self):
+        """The (N, H, W) stack on device; placed on first access when
+        shard_over() hasn't been called first."""
+        if self._images_dev is None:
+            self._images_dev = jax.device_put(self._images_host)
+            self._images_host = None
+        return self._images_dev
+
+    @images_dev.setter
+    def images_dev(self, value):
+        self._images_dev = value
+        self._images_host = None
+
+    def shard_over(self, mesh) -> None:
+        """Shard the stack over the mesh's data axis — N/|mesh| images per
+        chip, device_put straight from the host copy when still unplaced
+        (the full stack never occupies one device)."""
+        from spr_pick_tpu.parallel.mesh import shard_stack
+
+        src = self._images_host if self._images_dev is None else self._images_dev
+        self._images_dev = shard_stack(src, mesh)
+        self._images_host = None
 
     def sample_coords(self, shape):
         """Draw image indices + in-bounds crop corners of the given shape

@@ -62,6 +62,12 @@ def shard_stack(stack, mesh: Mesh, axis: str = DATA_AXIS):
     reassembles per-batch patches with a tiny psum
     (steps.make_train_scan_sharded).  Padded entries are all-zero images the
     sampler can never reference (its indices come from real images).
+
+    Pass the HOST (numpy) stack whenever possible: `device_put` with a
+    NamedSharding then copies each shard straight to its chip, so the full
+    stack never materialises on a single device — the capacity claim only
+    holds on that path.  A jnp input (already placed, e.g. replicated)
+    is resharded device-to-device instead.
     """
     import jax.numpy as jnp
 
@@ -69,9 +75,11 @@ def shard_stack(stack, mesh: Mesh, axis: str = DATA_AXIS):
     n = stack.shape[0]
     pad = (-n) % d
     if pad:
-        stack = jnp.concatenate(
-            [jnp.asarray(stack),
-             jnp.zeros((pad,) + tuple(stack.shape[1:]), stack.dtype)]
+        # Pad on whichever side the stack lives: numpy stays on host (the
+        # out-of-core path must not round-trip N images through one chip).
+        xp = np if isinstance(stack, np.ndarray) else jnp
+        stack = xp.concatenate(
+            [stack, xp.zeros((pad,) + tuple(stack.shape[1:]), stack.dtype)]
         )
     return jax.device_put(
         stack, NamedSharding(mesh, P(axis, *([None] * (stack.ndim - 1))))

@@ -24,6 +24,7 @@ boundary exactness.
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Callable, Dict, Optional, Tuple
 
@@ -33,9 +34,57 @@ import numpy as np
 
 from spr_pick_tpu.parallel.mesh import shard_batch
 
+logger = logging.getLogger("tiling")
+
 
 def plan_tiles(h: int, w: int, tile: int) -> Tuple[int, int]:
     return math.ceil(h / tile), math.ceil(w / tile)
+
+
+def _min_truncation_context(extent: int, tile: int, halo: int) -> float:
+    """Smallest one-sided context any tile's valid centre gets at a window
+    edge that truncates real image content, along one axis of `extent`.
+
+    Mirrors extract_tiles' clamped-window arithmetic exactly.  A window
+    edge that coincides with the image edge truncates nothing (the direct
+    forward ends there too), so it does not count.  Returns inf when no
+    window edge lies strictly inside the image (single degenerate tile)."""
+    n = math.ceil(extent / tile)
+    win = min(tile + 2 * halo, extent)
+    m = math.inf
+    for i in range(n):
+        lo = min(max(i * tile - halo, 0), extent - win)
+        c_lo, c_hi = i * tile, min((i + 1) * tile, extent)
+        if c_lo > 0 and lo > 0:
+            m = min(m, c_lo - lo)
+        if c_hi < extent and lo + win < extent:
+            m = min(m, lo + win - c_hi)
+    return m
+
+
+def usable_halos(
+    shape: Tuple[int, int], tile: int, halos
+) -> Tuple[int, ...]:
+    """Candidate halos a probe of `shape` can SOUNDLY certify for `tile`.
+
+    Certifying halo h from a probe is sound only when the probe geometry
+    contains a window edge whose one-sided context is <= h: production
+    interior tiles get exactly h of context per side, so the probe must
+    measure a truncation at least that severe.  Clamped probe windows can
+    instead overlap so much that every boundary sees >= 2h of context —
+    then the measured deviation UNDERSTATES production and calibration
+    would certify halos ~2x too small (the failure mode this filter
+    exists for)."""
+    h_, w_ = shape
+    return tuple(
+        h
+        for h in sorted(set(halos))
+        if min(
+            _min_truncation_context(h_, tile, h),
+            _min_truncation_context(w_, tile, h),
+        )
+        <= h
+    )
 
 
 def extract_tiles(
@@ -113,14 +162,42 @@ def tiled_dense_apply(
     clamped window is not already aligned.
     """
     h, w = image.shape
+    if align > 1:
+        win = tile + 2 * halo
+        if win < max(h, w) and win % align:
+            # Interior windows must be aligned BY CONSTRUCTION: padding
+            # them with zeros mid-image would reintroduce the
+            # hallucinated-halo bug documented in extract_tiles (an
+            # explicit zero band inside the image is not equivalent to
+            # the network's implicit edge padding).  Widen the halo to
+            # the next aligning value — extra context is always safe.
+            bumped = next(
+                (
+                    b
+                    for b in range(halo + 1, halo + align + 1)
+                    if (tile + 2 * b) % align == 0
+                ),
+                None,
+            )
+            if bumped is None:
+                raise ValueError(
+                    f"tile={tile} with align={align} admits no aligned "
+                    f"window for any halo >= {halo}; use an even tile "
+                    f"multiple of {align}"
+                )
+            logger.debug(
+                "halo %d widened to %d so windows align to %d",
+                halo, bumped, align,
+            )
+            halo = bumped
     tiles, grid, offsets = extract_tiles(image.astype(np.float32), tile, halo)
     t = tiles.shape[0]
 
-    # Clamped windows span the full image in any dimension smaller than
-    # tile+2*halo, which may not be a multiple of `align` (the dense
-    # route needs 32).  Pad those windows with zeros at bottom/right and
-    # crop after — exactly where (and how) the direct whole-image path
-    # pads-to-32, so boundary semantics stay consistent.
+    # Windows clamped to the FULL image extent in a dimension (image
+    # smaller than tile+2*halo there) may still be unaligned; zero-pad
+    # those at bottom/right and crop after — the pad then sits at the
+    # true image edge, exactly where (and how) the direct whole-image
+    # path pads-to-32, so boundary semantics stay consistent.
     win_y, win_x = tiles.shape[1:]
     pad_y = (-win_y) % align
     pad_x = (-win_x) % align
@@ -174,21 +251,30 @@ def calibrate_halo(
     halos and return the first whose outputs agree within `tol` at
     `percentile` (max over the apply fn's returned maps).
 
-    `probe` must be larger than tile + 2*halo for a halo to be a
-    meaningful candidate (otherwise the windows degenerate to the whole
-    probe and the comparison is vacuous); a central crop of a real
-    micrograph, sized so the direct forward is still affordable, is the
-    intended probe.  Returns (halo, {halo: measured deviation}).  Raises
-    ValueError when the probe is too small or no candidate meets `tol`.
+    A halo h is only a sound candidate when the probe geometry contains a
+    window edge truncating real content with one-sided context <= h
+    (`usable_halos`): production interior tiles get EXACTLY h of context,
+    so a probe whose clamped windows all overlap into >= 2h of context
+    would understate the deviation and certify halos ~2x too small.  The
+    certificate itself is tile-size independent — per-pixel deviation is a
+    function of the distance to the truncating edge, not of the tile size —
+    so calibrating with a SMALLER tile than production is valid (and
+    conservative: a larger fraction of pixels sits near a boundary).  A
+    central crop of a real micrograph, sized so the direct forward is
+    still affordable, is the intended probe.  Returns
+    (halo, {halo: measured deviation}).  Raises ValueError when the probe
+    is too small or no candidate meets `tol`.
     """
     probe = np.asarray(probe, np.float32)
     direct_out = apply_tiles(jnp.asarray(probe[None, :, :, None]))
     direct = {k: np.asarray(v)[0, :, :, 0] for k, v in direct_out.items()}
-    usable = [h for h in sorted(set(halos)) if tile + 2 * h < min(probe.shape)]
+    usable = usable_halos(probe.shape, tile, halos)
     if not usable:
         raise ValueError(
-            f"probe {probe.shape} too small to calibrate tile={tile}: "
-            f"needs min dim > {tile + 2 * min(halos)}"
+            f"probe {probe.shape} too small to soundly calibrate "
+            f"tile={tile}: no candidate halo in {sorted(set(halos))} has a "
+            "window edge with <= halo context (use a larger probe or a "
+            "smaller calibration tile)"
         )
     curve: Dict[int, float] = {}
     for halo in usable:

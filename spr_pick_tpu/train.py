@@ -63,10 +63,16 @@ logger = logging.getLogger("train")
 DEFAULT_RUN_DIR = cfg_mod.DEFAULT_RUN_DIR
 
 
-def _device_data_budget() -> int:
-    """HBM byte budget for device-resident data planes (default 4 GiB;
-    override with SPR_DEVICE_DATA_BUDGET, in bytes)."""
-    return int(os.environ.get("SPR_DEVICE_DATA_BUDGET", 4 << 30))
+def _device_data_budget(mesh=None) -> int:
+    """HBM byte budget for device-resident data planes (default 4 GiB
+    PER CHIP; override with SPR_DEVICE_DATA_BUDGET, in bytes).
+
+    Under a mesh the image stacks are sharded over the chips straight from
+    host memory (DevicePatchPipeline.shard_over), so total capacity scales
+    |mesh|-fold — the budget gate compares against the padded TOTAL, hence
+    the multiplier."""
+    per_chip = int(os.environ.get("SPR_DEVICE_DATA_BUDGET", 4 << 30))
+    return per_chip * (int(mesh.devices.size) if mesh is not None else 1)
 
 
 class DenoiserTrainer:
@@ -288,7 +294,7 @@ class DenoiserTrainer:
                 try:
                     pipeline = DevicePatchPipeline(
                         dataset, crop=cfg[ConfigValue.TRAIN_PATCH_SIZE],
-                        augment=True, max_bytes=_device_data_budget(),
+                        augment=True, max_bytes=_device_data_budget(self.mesh),
                     )
                 except ValueError as exc:
                     logger.warning(
@@ -340,7 +346,7 @@ class DenoiserTrainer:
 
             try:
                 pipeline = DeviceDenoisePipeline(
-                    base, max_bytes=_device_data_budget(), **kwargs
+                    base, max_bytes=_device_data_budget(self.mesh), **kwargs
                 )
             except ValueError as exc:
                 logger.warning(
@@ -627,12 +633,10 @@ class DenoiserTrainer:
                     flat, ys, xs = jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs)
                     labels = jnp.asarray(labels)
                     rng = self._next_rng()
-                    images_dev = self.patch_pipeline.images_dev
                     if self.mesh is not None:
                         from spr_pick_tpu.parallel.mesh import (
                             replicate,
                             shard_scan_indices,
-                            shard_stack,
                         )
 
                         (flat, ys, xs, labels) = shard_scan_indices(
@@ -640,14 +644,14 @@ class DenoiserTrainer:
                         )
                         lrs, rng = replicate((lrs, rng), self.mesh)
                         if not self._scan_stacks_replicated:
-                            # One-time: SHARD the micrograph stack over the
-                            # chips — N/|mesh| images per chip, not N
-                            # (heatmaps stay on host entirely).
-                            self.patch_pipeline.images_dev = shard_stack(
-                                images_dev, self.mesh
-                            )
-                            images_dev = self.patch_pipeline.images_dev
+                            # One-time, BEFORE any images_dev access: SHARD
+                            # the micrograph stack over the chips — N/|mesh|
+                            # images per chip, put straight from the host
+                            # stack (it must never transit one chip's HBM;
+                            # heatmaps stay on host entirely).
+                            self.patch_pipeline.shard_over(self.mesh)
                             self._scan_stacks_replicated = True
+                    images_dev = self.patch_pipeline.images_dev
                     self.train_state, metrics = self._train_scan(
                         self.train_state,
                         images_dev,
@@ -668,12 +672,10 @@ class DenoiserTrainer:
                     lrs = self._scan_lrs(iteration, k, batch_size)
                     flat, ys, xs = jnp.asarray(flat), jnp.asarray(ys), jnp.asarray(xs)
                     rng = self._next_rng()
-                    images_dev = self.patch_pipeline.images_dev
                     if self.mesh is not None:
                         from spr_pick_tpu.parallel.mesh import (
                             replicate,
                             shard_scan_indices,
-                            shard_stack,
                         )
 
                         (flat, ys, xs) = shard_scan_indices(
@@ -681,12 +683,11 @@ class DenoiserTrainer:
                         )
                         lrs, rng = replicate((lrs, rng), self.mesh)
                         if not self._scan_stacks_replicated:
-                            # SHARD the image stack over the chips.
-                            self.patch_pipeline.images_dev = shard_stack(
-                                images_dev, self.mesh
-                            )
-                            images_dev = self.patch_pipeline.images_dev
+                            # SHARD the image stack over the chips (straight
+                            # from the host copy — see the joint path above).
+                            self.patch_pipeline.shard_over(self.mesh)
                             self._scan_stacks_replicated = True
+                    images_dev = self.patch_pipeline.images_dev
                     self.train_state, metrics = self._denoise_scan(
                         self.train_state, images_dev, flat, ys, xs, lrs, rng
                     )
@@ -844,6 +845,19 @@ class DenoiserTrainer:
             )
             self._pending_exports = []
         self._pending_exports.append(self._export_pool.submit(fn, *args))
+        # Backpressure: each pending u8 future pins a device-resident
+        # array, so an unbounded queue accumulates HBM/host memory when
+        # the device outruns the disk (big eval, slow storage).  Past a
+        # small multiple of the workers, sweep finished futures (re-raising
+        # their failures eagerly) and block on the oldest.
+        if len(self._pending_exports) > 4 * n:
+            keep = []
+            for i, fut in enumerate(self._pending_exports):
+                if i == 0 or fut.done():
+                    fut.result()
+                else:
+                    keep.append(fut)
+            self._pending_exports = keep
 
     def _flush_exports(self) -> None:
         """Wait for all in-flight artifact writes; propagate any failure."""
@@ -1098,7 +1112,9 @@ class DenoiserTrainer:
         image = np.asarray(item["inp"])[0, :, :, 0]
         halo = self.tile_eval_halo
         if halo == "auto":
-            halo = self._calibrated_halo(apply_tiles, image)
+            halo = self._calibrated_halo(
+                apply_tiles, image, item.get("image_shape")
+            )
         stitched = tiled_dense_apply(
             apply_tiles,
             image,
@@ -1109,37 +1125,57 @@ class DenoiserTrainer:
         )
         return {k: v[None, :, :, None] for k, v in stitched.items()}
 
-    def _calibrated_halo(self, apply_tiles, image: np.ndarray) -> int:
+    def _calibrated_halo(
+        self, apply_tiles, image: np.ndarray, image_shape=None
+    ) -> int:
         """tile_eval_halo="auto": derive the halo from the model's measured
         context decay on a central crop of the first tiled micrograph
         (calibrate_halo); cached for the rest of the run.  The measured
         deviation includes the reparameterisation noise of a non-zero
         sigma head, so `tol` bounds what the user actually gets, not just
-        the context leak."""
+        the context leak.
+
+        Two geometry rules keep the certificate sound:
+        * the probe is cropped from the UNPADDED content region
+          (`image_shape`) — in square-pad mode a central crop of the canvas
+          can be mostly pad zeros, whose flat response understates the
+          decay on real content;
+        * calibration runs at a SMALLER tile than production, so the probe
+          contains window edges with exactly-halo context (at the
+          production tile every probe window is clamped into >=2x-halo
+          overlap and the curve certifies halos ~2x too small).  The
+          certificate transfers: per-pixel deviation depends on distance
+          to the truncating edge, not tile size (calibrate_halo docs)."""
         if self._auto_halo is not None:
             return self._auto_halo
-        from spr_pick_tpu.parallel.tiling import calibrate_halo
+        from spr_pick_tpu.parallel.tiling import calibrate_halo, usable_halos
 
-        tile = self.tile_eval_size
         candidates = (32, 64, 96, 128, 160, 224, 320)
-        side = min(min(image.shape), tile + 2 * max(candidates) + 32)
+        ih, iw = image_shape if image_shape is not None else image.shape
+        ih, iw = min(ih, image.shape[0]), min(iw, image.shape[1])
+        side = min(ih, iw, self.tile_eval_size + 2 * max(candidates) + 32)
         side -= side % 32
-        y0 = (image.shape[0] - side) // 2
-        x0 = (image.shape[1] - side) // 2
+        y0 = (ih - side) // 2
+        x0 = (iw - side) // 2
         probe = image[y0 : y0 + side, x0 : x0 + side]
+        cal_tile = min(
+            self.tile_eval_size,
+            max(128, (side - max(candidates)) // 2 // 32 * 32),
+        )
+        usable = usable_halos((side, side), cal_tile, candidates)
         try:
             halo, curve = calibrate_halo(
-                apply_tiles, probe, tile=tile, halos=candidates,
+                apply_tiles, probe, tile=cal_tile, halos=candidates,
                 align=32, mesh=self.mesh,
             )
             logger.info(
-                "tile halo calibrated to %d (p99 deviation curve: %s)",
-                halo, {k: round(v, 4) for k, v in curve.items()},
+                "tile halo calibrated to %d (probe %dpx, tile %d; "
+                "p99 deviation curve: %s)",
+                halo, side, cal_tile,
+                {k: round(v, 4) for k, v in curve.items()},
             )
         except ValueError as exc:
-            halo = max(
-                (h for h in candidates if tile + 2 * h < side), default=96
-            )
+            halo = max(usable, default=96)
             logger.warning(
                 "halo auto-calibration inconclusive (%s); using %d", exc, halo
             )

@@ -162,6 +162,30 @@ def test_import_reference_leaves_no_stub_modules():
         )
 
 
+def test_import_reference_keep_stubs_defers_cleanup():
+    """With keep_stubs, stub removal is DEFERRED to the caller: the
+    unpickler lazily imports reference submodules during torch.load, so
+    load_reference_checkpoint needs the stubs to outlive the import
+    attempt itself — and then must still leave sys.modules clean."""
+    import sys
+
+    from spr_pick_tpu.compat import _import_reference_package
+
+    stubbed: list = []
+    _import_reference_package(keep_stubs=stubbed)
+    try:
+        for n in stubbed:
+            mod = sys.modules.get(n)
+            assert mod is not None and not getattr(mod, "__file__", None), (
+                f"recorded stub {n!r} not alive for the caller's unpickle"
+            )
+    finally:
+        for n in stubbed:
+            sys.modules.pop(n, None)
+    for n in stubbed:
+        assert n not in sys.modules
+
+
 def test_denoise_only_reference_checkpoint_infers_denoise_mode(tmp_path):
     """A reference checkpoint with NO detector weights must not load as
     mode='joint' (it would fail confusingly at apply time); the loader

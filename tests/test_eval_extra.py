@@ -339,6 +339,45 @@ def test_threaded_export_matches_inline(tmp_path, rng, monkeypatch):
         assert a == b, f"artifact {f} differs between export modes"
 
 
+def test_export_pool_backpressure(monkeypatch):
+    """_submit_export must bound its pending queue (each pending u8 future
+    pins a device-resident array, so an unbounded queue accumulates memory
+    whenever the device outruns the disk) while still completing every
+    write and propagating failures."""
+    import threading
+    import time
+
+    from spr_pick_tpu.train import DenoiserTrainer
+
+    monkeypatch.setenv("SPR_EXPORT_THREADS", "2")
+    trainer = DenoiserTrainer.__new__(DenoiserTrainer)
+
+    done = []
+    lock = threading.Lock()
+
+    def slow_write(i):
+        time.sleep(0.005)
+        with lock:
+            done.append(i)
+
+    max_pending = 0
+    for i in range(60):
+        trainer._submit_export(slow_write, i)
+        max_pending = max(max_pending, len(trainer._pending_exports))
+    assert max_pending <= 2 * 4, f"queue grew to {max_pending}"
+    trainer._flush_exports()
+    assert sorted(done) == list(range(60))
+
+    # Failures surface (eagerly at a later submit, or at flush).
+    def boom():
+        raise RuntimeError("disk full")
+
+    with pytest.raises(RuntimeError, match="disk full"):
+        for _ in range(60):
+            trainer._submit_export(boom)
+        trainer._flush_exports()
+
+
 def test_ssdn_three_channel_full_covariance(rng):
     """3-channel ssdn denoise-only path (full triangular-A covariance)."""
     c = cfg_mod.base()

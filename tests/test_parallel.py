@@ -387,3 +387,46 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     net_out, detect = out
     assert net_out.shape == (2, 64, 64, 2)
+
+
+def test_shard_over_places_shards_straight_from_host(cpu_mesh_devices, rng, tmp_path):
+    """Out-of-core capacity contract (round-4 review): shard_over() on a
+    still-host-resident pipeline must put N/|mesh| images per chip straight
+    from the host stack — the full stack never transits one device — and
+    shard_stack must pad a NUMPY stack in numpy (device-free)."""
+    from spr_pick_tpu.data.micrograph import (
+        DevicePatchPipeline,
+        MicrographDataset,
+    )
+    from spr_pick_tpu.parallel.mesh import shard_stack
+    from tests.test_e2e import make_synthetic_dataset
+
+    # Pure-numpy pad path: no jax arrays created before device_put.
+    mesh = make_mesh(8, devices=cpu_mesh_devices)
+    host = rng.rand(3, 16, 16).astype(np.float32)
+    sharded = shard_stack(host, mesh)
+    assert sharded.shape[0] == 8
+    assert sharded.sharding.shard_shape(sharded.shape)[0] == 1
+    np.testing.assert_array_equal(np.asarray(sharded)[:3], host)
+    np.testing.assert_array_equal(np.asarray(sharded)[3:], 0.0)
+
+    images_txt, coords_txt = make_synthetic_dataset(
+        tmp_path, rng, n_images=2, size=384, n_particles=4
+    )
+    dataset = MicrographDataset(
+        images_txt, coords_txt, radius=3, train=True, crop=32, bb=24,
+        verbose=False,
+    )
+    pipe = DevicePatchPipeline(dataset, crop=32, augment=True)
+    # Lazy placement: nothing on device yet.
+    assert pipe._images_dev is None and pipe._images_host is not None
+    pipe.shard_over(mesh)
+    assert pipe._images_host is None
+    dev = pipe.images_dev
+    assert dev.sharding.shard_shape(dev.shape)[0] * 8 == dev.shape[0]
+
+    # The lazy property alone (no mesh) still places the stack.
+    pipe2 = DevicePatchPipeline(dataset, crop=32, augment=True)
+    assert pipe2._images_dev is None
+    assert pipe2.images_dev.shape[0] == 2
+    assert pipe2._images_host is None

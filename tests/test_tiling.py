@@ -292,6 +292,82 @@ def test_calibrate_halo_probe_too_small(rng):
         calibrate_halo(lambda b: {"out": b}, img, tile=32, halos=(8, 16))
 
 
+def test_usable_halos_rejects_overlapped_geometry():
+    """Soundness filter: a probe whose clamped windows all overlap into
+    >= 2*halo of context cannot certify that halo (the measured deviation
+    would understate production interior tiles, which get exactly halo).
+    424px probe, tile 256, halo 64: every window edge has >= 128px of
+    context -> rejected; at tile 128 an interior window edge has exactly
+    64px -> accepted."""
+    from spr_pick_tpu.parallel.tiling import usable_halos
+
+    assert usable_halos((424, 424), 256, (64,)) == ()
+    assert usable_halos((424, 424), 128, (64,)) == (64,)
+    # Degenerate single-window probe truncates nothing: nothing certifiable.
+    assert usable_halos((40, 40), 32, (8, 16)) == ()
+
+
+def test_calibrate_halo_refuses_optimistic_geometry(rng):
+    """The round-4 auto-halo bug: with tile large relative to the probe,
+    every window is clamped and the nearest truncating edge sits ~2*halo
+    from any valid centre — a model needing halo 8 (RF 17) measures ZERO
+    deviation at halo 4 and calibration would certify half the required
+    halo.  calibrate_halo must refuse that geometry outright (the same
+    probe at a smaller calibration tile certifies the true 8 — covered by
+    test_calibrate_halo_finds_receptive_field)."""
+    img = rng.rand(96, 96).astype(np.float32)
+    k1 = jnp.asarray((rng.rand(9, 9).astype(np.float32) - 0.5) * 0.3)
+    k2 = jnp.asarray((rng.rand(9, 9).astype(np.float32) - 0.5) * 0.3)
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k[:, :, None, None], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def apply_tiles(batch):
+        return {"out": conv(jnp.tanh(conv(batch, k1)), k2)}
+
+    # tile 64 on a 96px probe: halo 4's nearest truncating edge has 8px of
+    # context (== the model's true requirement), so the leak is invisible.
+    with pytest.raises(ValueError, match="soundly"):
+        calibrate_halo(apply_tiles, img, tile=64, tol=1e-5, halos=(4, 8))
+
+
+def test_tiled_halo_alignment_bump(rng):
+    """A user halo that misaligns interior windows must be WIDENED, never
+    zero-padded mid-image (explicit zeros inside the image reintroduce the
+    hallucinated-halo bug).  halo=50 with tile=64/align=32 bumps to 64;
+    the result is exactly the halo-64 tiling."""
+    img = rng.rand(256, 256).astype(np.float32)
+    k = jnp.asarray((rng.rand(5, 5).astype(np.float32) - 0.5) * 0.3)
+
+    def apply_tiles(batch):
+        out = jax.lax.conv_general_dilated(
+            batch, k[:, :, None, None], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return {"out": out}
+
+    bumped = tiled_dense_apply(
+        apply_tiles, img, tile=64, halo=50, align=32
+    )["out"]
+    explicit = tiled_dense_apply(
+        apply_tiles, img, tile=64, halo=64, align=32
+    )["out"]
+    np.testing.assert_array_equal(bumped, explicit)
+
+
+def test_tiled_unalignable_halo_raises():
+    """An odd tile can never align its windows for any halo: explicit
+    error, not a silent mid-image zero pad."""
+    img = np.zeros((256, 256), np.float32)
+    with pytest.raises(ValueError, match="no aligned"):
+        tiled_dense_apply(
+            lambda b: {"out": b}, img, tile=63, halo=8, align=32
+        )
+
+
 def test_calibrate_halo_none_sufficient(rng):
     """A global (non-local) op can never be tiled: calibration must say so
     rather than return a bogus halo."""
@@ -421,7 +497,10 @@ def test_tiling_halo_multi_seed(tmp_path, rng):
             certified = True
         except ValueError as exc:
             curve = exc.curve
-            halo_used = 160  # the evaluator's fallback: largest candidate
+            # the evaluator's fallback: the largest SOUNDLY-MEASURABLE
+            # candidate (halo 160 can't be certified from a 512px probe at
+            # tile 128 — every window edge there has >160px of context)
+            halo_used = max(curve)
             certified = False
         halos_tried = sorted(curve)
         devs = [curve[h] for h in halos_tried]
