@@ -24,6 +24,12 @@ import numpy as np
 
 logger = logging.getLogger("nms")
 
+# Bounded auto-retry when a pick list hits the static max_peaks buffer:
+# doubling 4 times gives a 16x ceiling, after which the truncation warning
+# fires.  Restores the reference's unbounded host-NMS semantics
+# (algorithms.py:59-103) with no user action in all but pathological cases.
+_MAX_NMS_DOUBLINGS = 4
+
 
 def _warn_if_capped(counts, max_peaks: int) -> None:
     """Loudly flag silent truncation: the reference's host NMS returns
@@ -503,16 +509,58 @@ def nms_batch_device(
     return _batched_nms_fn(radius, float(threshold), max_peaks)(heatmaps)
 
 
-def nms_batch_trim(scores, coords, counts):
-    """Pull batched-NMS device results and trim to per-map pick lists."""
+def nms_batch_trim(scores, coords, counts, heatmaps=None, radius=None,
+                   threshold: float = 0.02, suppressed=None):
+    """Pull batched-NMS device results and trim to per-map pick lists.
+
+    When ``heatmaps`` (and ``radius``) are provided, any map whose pick
+    list hit the static ``max_peaks`` buffer is automatically RE-RUN with
+    a doubled buffer (bounded: up to ``_MAX_NMS_DOUBLINGS`` doublings =
+    16x), restoring the reference's unbounded pick-list semantics
+    (algorithms.py:59-103) without user intervention; a warning records
+    each retry.  Without them the old drop-with-warning behaviour applies.
+    """
     counts = np.asarray(counts)
     scores = np.asarray(scores)
     coords = np.asarray(coords)
-    _warn_if_capped(counts, scores.shape[-1])
-    return [
+    max_peaks = scores.shape[-1]
+    results = [
         (scores[i, : counts[i]], coords[i, : counts[i]])
         for i in range(scores.shape[0])
     ]
+    todo = np.flatnonzero(counts >= max_peaks)
+    if todo.size == 0:
+        return results
+    if heatmaps is None or radius is None:
+        _warn_if_capped(counts, max_peaks)
+        return results
+
+    hm = jnp.asarray(heatmaps)
+    if suppressed is not None:
+        hm = jnp.where(jnp.asarray(suppressed, bool), -jnp.inf, hm)
+    cap = max_peaks
+    for _ in range(_MAX_NMS_DOUBLINGS):
+        prev, cap = cap, cap * 2
+        logger.warning(
+            "NMS pick list hit the max_peaks cap (%d) on %d of %d map(s); "
+            "auto-retrying those maps with max_peaks=%d",
+            prev, todo.size, len(counts), cap,
+        )
+        sub = jnp.take(hm, jnp.asarray(todo), axis=0)
+        s2, c2, n2 = _batched_nms_fn(radius, float(threshold), cap)(sub)
+        s2, c2, n2 = np.asarray(s2), np.asarray(c2), np.asarray(n2)
+        for k, i in enumerate(todo):
+            results[i] = (s2[k, : n2[k]], c2[k, : n2[k]])
+        todo = todo[n2 >= cap]
+        if todo.size == 0:
+            return results
+    logger.warning(
+        "NMS pick list still hit the cap (%d) on %d map(s) after %d "
+        "automatic retries; picks beyond the cap were DROPPED — re-run "
+        "with a larger --max_peaks to get the full list",
+        cap, todo.size, _MAX_NMS_DOUBLINGS,
+    )
+    return results
 
 
 def nms_batch_to_host(
@@ -533,9 +581,14 @@ def nms_batch_to_host(
     pixels (the reference's `contam` set, algorithms.py:59-77); masked
     pixels can never be picked but do not block later picks near them —
     exactly the reference's seeded-set semantics.
+
+    Maps that hit the ``max_peaks`` cap are automatically retried with a
+    doubled buffer (see :func:`nms_batch_trim`).
     """
     return nms_batch_trim(
-        *nms_batch_device(heatmaps, radius, threshold, max_peaks, suppressed)
+        *nms_batch_device(heatmaps, radius, threshold, max_peaks, suppressed),
+        heatmaps=heatmaps, radius=radius, threshold=threshold,
+        suppressed=suppressed,
     )
 
 
@@ -553,15 +606,34 @@ def nms_to_host(
     ``suppressed``: optional (H, W) boolean mask of initially-suppressed
     pixels (reference `contam` seeding, algorithms.py:59-77): masked
     pixels are unpickable but don't suppress their neighbourhoods.
+
+    A pick list that hits the ``max_peaks`` cap is automatically retried
+    with a doubled buffer, up to ``_MAX_NMS_DOUBLINGS`` doublings (16x),
+    matching the reference's unbounded host NMS (algorithms.py:59-103).
     """
     heatmap = jnp.asarray(heatmap)
     if suppressed is not None:
         heatmap = jnp.where(jnp.asarray(suppressed, bool), -jnp.inf, heatmap)
-    scores, coords, count = non_maximum_suppression_multipeak(
-        heatmap, radius, threshold, max_peaks
+    cap = max_peaks
+    for attempt in range(_MAX_NMS_DOUBLINGS + 1):
+        scores, coords, count = non_maximum_suppression_multipeak(
+            heatmap, radius, threshold, cap
+        )
+        n = int(count)
+        if n < cap:
+            return np.asarray(scores[:n]), np.asarray(coords[:n])
+        if attempt < _MAX_NMS_DOUBLINGS:
+            logger.warning(
+                "NMS pick list hit the max_peaks cap (%d); auto-retrying "
+                "with max_peaks=%d", cap, cap * 2,
+            )
+            cap *= 2
+    logger.warning(
+        "NMS pick list still hit the cap (%d) after %d automatic retries; "
+        "picks beyond the cap were DROPPED — re-run with a larger "
+        "--max_peaks to get the full list",
+        cap, _MAX_NMS_DOUBLINGS,
     )
-    n = int(count)
-    _warn_if_capped(n, max_peaks)
     return np.asarray(scores[:n]), np.asarray(coords[:n])
 
 

@@ -15,7 +15,7 @@ import logging
 import math
 import os
 from collections import defaultdict
-from typing import Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,16 @@ from spr_pick_tpu.utils.schedule import compute_ramped_lrate
 logger = logging.getLogger("train")
 
 DEFAULT_RUN_DIR = cfg_mod.DEFAULT_RUN_DIR
+
+
+@jax.jit
+def _tree_checksum(tree):
+    """f32 abs-sum over every leaf of a pytree — a one-scalar weight
+    fingerprint (not cryptographic; distinguishes snapshots/checkpoints)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return sum(
+        jnp.sum(jnp.abs(leaf.astype(jnp.float32))) for leaf in leaves
+    )
 
 
 def _device_data_budget(mesh=None) -> int:
@@ -146,7 +156,13 @@ class DenoiserTrainer:
         # calibrate_halo) — the fixed default suits the reference-style
         # trained JointNetwork; atypical weight sets can leak further.
         self.tile_eval_halo = 96
-        self._auto_halo: Optional[int] = None
+        # (weight fingerprint, halo): the measured decay is weight-set
+        # dependent (partially-trained weights leak further than converged
+        # ones — tests/test_tiling.py multi-seed finding), so the cached
+        # calibration is invalidated whenever the weights change (eval
+        # during training re-probes each snapshot; an evaluator re-probes
+        # per loaded checkpoint).
+        self._auto_halo: Optional[Tuple[Any, int]] = None
         self.trainset: Optional[MicrographDataset] = None
         self.patch_pipeline: Optional[DevicePatchPipeline] = None
         self.train_sampler = None
@@ -909,7 +925,17 @@ class DenoiserTrainer:
             if picks_dev is not None:
                 from spr_pick_tpu.ops.nms import nms_batch_trim
 
-                group_picks = nms_batch_trim(*picks_dev)
+                # The heatmaps are still device-resident in `outputs`;
+                # handing them to the trim lets a capped pick list auto-
+                # retry with a doubled buffer (reference-unbounded parity).
+                shape = group[0]["image_shape"]
+                group_picks = nms_batch_trim(
+                    *picks_dev,
+                    heatmaps=outputs[PipelineOutput.DETECT][
+                        :, : shape[0], : shape[1], 0
+                    ],
+                    radius=nms_radius, threshold=0.02,
+                )
             elif batched:
                 # Contamination seeding needs the denoised images on host
                 # (find_contamination is a numpy routine), so this NMS
@@ -1145,9 +1171,17 @@ class DenoiserTrainer:
           production tile every probe window is clamped into >=2x-halo
           overlap and the curve certifies halos ~2x too small).  The
           certificate transfers: per-pixel deviation depends on distance
-          to the truncating edge, not tile size (calibrate_halo docs)."""
-        if self._auto_halo is not None:
-            return self._auto_halo
+          to the truncating edge, not tile size (calibrate_halo docs).
+
+        The cache is keyed on a WEIGHT FINGERPRINT: the decay is
+        weight-set dependent (the round-4 multi-seed finding: a 150-step
+        model leaks p99 0.1-0.5 past halo 96 while the converged model
+        measures ~0.01), so eval-during-training re-probes every snapshot
+        and an evaluator re-probes per loaded checkpoint — one cheap
+        forward each, instead of reusing a stale certificate."""
+        fp = self._weights_fingerprint()
+        if self._auto_halo is not None and self._auto_halo[0] == fp:
+            return self._auto_halo[1]
         from spr_pick_tpu.parallel.tiling import calibrate_halo, usable_halos
 
         candidates = (32, 64, 96, 128, 160, 224, 320)
@@ -1179,8 +1213,22 @@ class DenoiserTrainer:
             logger.warning(
                 "halo auto-calibration inconclusive (%s); using %d", exc, halo
             )
-        self._auto_halo = halo
+        self._auto_halo = (fp, halo)
         return halo
+
+    def _weights_fingerprint(self):
+        """Cheap, deterministic fingerprint of the current trainable
+        weights: (step, f32 abs-sum checksum).  One scalar crosses to the
+        host — negligible next to the tiled forward it gates.  Two
+        different weight sets loaded at the same step (e.g. two `.wt`
+        files) still differ via the checksum."""
+        state = self.train_state
+        if state is None:
+            return None
+        return (
+            int(state.step),
+            float(_tree_checksum(state.trainable)),
+        )
 
     def validation_output_callback(self, output_index: int):
         def callback(idx: int, outputs: Dict, item: Dict):

@@ -238,26 +238,29 @@ def test_find_contamination_masks_dark_blob():
     assert not mask[5, 5]
 
 
-def test_nms_cap_warning_logged(caplog):
-    """Hitting the static max_peaks cap must WARN (VERDICT r3: the
-    reference returns every peak above the floor; silent truncation is a
-    behavioural divergence users must see)."""
+def test_nms_cap_exhaustion_warns_and_drops(caplog):
+    """A map denser than 16x the cap exhausts the bounded auto-retry:
+    the final pick list is capped at max_peaks * 2^4 and the DROPPED
+    warning fires (VERDICT r3/r4: silent truncation is a behavioural
+    divergence users must see)."""
     import logging
 
     from spr_pick_tpu.ops.nms import nms_batch_to_host, nms_to_host
 
     rng = np.random.RandomState(0)
     dense = rng.rand(64, 64).astype(np.float32) + 0.5  # everything > 0.02
+    # radius=1 on a 64^2 random map yields ~1000 peaks >> 4 * 16 = 64.
     with caplog.at_level(logging.WARNING, logger="nms"):
         scores, coords = nms_to_host(dense, radius=1, max_peaks=4)
-    assert len(scores) == 4
-    assert any("max_peaks" in r.message for r in caplog.records)
+    assert len(scores) == 64  # 4 doublings from 4
+    assert any("DROPPED" in r.message for r in caplog.records)
+    assert any("auto-retrying" in r.message for r in caplog.records)
 
     caplog.clear()
     with caplog.at_level(logging.WARNING, logger="nms"):
         out = nms_batch_to_host(dense[None], radius=1, max_peaks=4)
-    assert len(out[0][0]) == 4
-    assert any("max_peaks" in r.message for r in caplog.records)
+    assert len(out[0][0]) == 64
+    assert any("DROPPED" in r.message for r in caplog.records)
 
     # No warning when the cap is not hit.
     caplog.clear()
@@ -266,3 +269,65 @@ def test_nms_cap_warning_logged(caplog):
     with caplog.at_level(logging.WARNING, logger="nms"):
         nms_to_host(sparse, radius=3, max_peaks=16)
     assert not any("max_peaks" in r.message for r in caplog.records)
+
+
+def _grid_peak_map(h=64, w=64, stride=6, n_peaks=None):
+    """Synthetic map with distinct well-separated peaks on a grid."""
+    x = np.full((h, w), -1.0, np.float32)
+    ys, xs = np.mgrid[3:h:stride, 3:w:stride]
+    ys, xs = ys.ravel(), xs.ravel()
+    if n_peaks is not None:
+        ys, xs = ys[:n_peaks], xs[:n_peaks]
+    x[ys, xs] = 1.0 + np.arange(len(ys), dtype=np.float32) / len(ys)
+    return x, len(ys)
+
+
+def test_nms_auto_retry_returns_full_pick_set(caplog):
+    """VERDICT r4 item 4: a capped pick list is automatically re-run with
+    a doubled buffer until complete — the full reference pick set comes
+    back with NO user action, matching the unbounded numpy oracle
+    (algorithms.py:59-103 semantics)."""
+    import logging
+
+    from spr_pick_tpu.ops.nms import (
+        nms_to_host,
+        non_maximum_suppression_np,
+    )
+
+    x, n_true = _grid_peak_map(64, 64, stride=6, n_peaks=100)
+    assert n_true == 100
+    with caplog.at_level(logging.WARNING, logger="nms"):
+        scores, coords = nms_to_host(x, radius=2, threshold=0.02, max_peaks=16)
+    # 16 -> 32 -> 64 -> 128: completes after 3 doublings.
+    assert len(scores) == n_true
+    s_ref, c_ref = non_maximum_suppression_np(x, 2, threshold=0.02)
+    np.testing.assert_array_equal(scores, s_ref)
+    np.testing.assert_array_equal(coords, c_ref)
+    assert any("auto-retrying" in r.message for r in caplog.records)
+    assert not any("DROPPED" in r.message for r in caplog.records)
+
+
+def test_nms_batch_auto_retry_only_capped_maps(caplog):
+    """Batched trim retries ONLY the capped maps; sparse maps keep their
+    first-pass result."""
+    import logging
+
+    from spr_pick_tpu.ops.nms import (
+        nms_batch_to_host,
+        non_maximum_suppression_np,
+    )
+
+    dense, n_dense = _grid_peak_map(64, 64, stride=6, n_peaks=100)
+    sparse = np.full((64, 64), -1.0, np.float32)
+    sparse[10, 10] = 2.0
+    sparse[40, 40] = 1.5
+    batch = np.stack([sparse, dense])
+    with caplog.at_level(logging.WARNING, logger="nms"):
+        out = nms_batch_to_host(batch, radius=2, threshold=0.02, max_peaks=16)
+    assert len(out[0][0]) == 2
+    assert len(out[1][0]) == n_dense
+    s_ref, c_ref = non_maximum_suppression_np(dense, 2, threshold=0.02)
+    np.testing.assert_array_equal(out[1][0], s_ref)
+    np.testing.assert_array_equal(out[1][1], c_ref)
+    retry_msgs = [r.message for r in caplog.records if "auto-retrying" in r.message]
+    assert retry_msgs and "1 of 2" in retry_msgs[0]

@@ -241,8 +241,10 @@ def test_evaluator_routes_giant_micrographs_through_tiles(tmp_path, rng):
     files = os.listdir(val_dir)
     assert any(f.endswith("_scores.txt") for f in files)
     assert any("_out" in f and f.endswith(".png") for f in files)
-    # auto mode resolved and cached a concrete halo
-    assert trainer._auto_halo in (32, 64)
+    # auto mode resolved and cached a concrete halo, keyed on the weights
+    fp, halo = trainer._auto_halo
+    assert halo in (32, 64)
+    assert fp == trainer._weights_fingerprint()
 
 
 def test_tiled_with_mesh(cpu_mesh_devices, rng):
@@ -570,3 +572,48 @@ def test_tiling_halo_multi_seed(tmp_path, rng):
             seed, steps, len(c_d), len(c_t_lo))
         assert covered(c_t, c_d_lo) == pytest.approx(1.0), (
             seed, steps, len(c_t), len(c_d_lo))
+
+
+def test_auto_halo_recalibrates_per_weight_set(tmp_path, monkeypatch):
+    """VERDICT r4 item 8: the measured decay is weight-set dependent, so
+    two different weight sets through one trainer/evaluator must get
+    INDEPENDENT calibrations — and the same weights must reuse the cached
+    certificate (one probe per snapshot, not per micrograph)."""
+    import spr_pick_tpu.parallel.tiling as tiling_mod
+    from spr_pick_tpu import cfg as cfg_mod
+    from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm, NoiseValue
+    from spr_pick_tpu.train import DenoiserTrainer
+
+    c = cfg_mod.base()
+    c[ConfigValue.ALGORITHM] = NoiseAlgorithm.SELFSUPERVISED_DENOISING
+    c[ConfigValue.NOISE_STYLE] = "gauss"
+    c[ConfigValue.NOISE_VALUE] = NoiseValue.UNKNOWN_CONSTANT
+    trainer = DenoiserTrainer(
+        c, mode="joint", alpha=0.75, tau=0.05, runs_dir=str(tmp_path / "runs")
+    )
+    trainer.new_target()
+    trainer.tile_eval_halo = "auto"
+
+    calls = []
+
+    def fake_calibrate(apply_tiles, probe, **kw):
+        calls.append(1)
+        return 64, {64: 0.0}
+
+    monkeypatch.setattr(tiling_mod, "calibrate_halo", fake_calibrate)
+    img = np.random.RandomState(0).rand(512, 512).astype(np.float32)
+
+    h1 = trainer._calibrated_halo(lambda b: {"out": b}, img, None)
+    h2 = trainer._calibrated_halo(lambda b: {"out": b}, img, None)
+    assert h1 == h2 == 64
+    assert len(calls) == 1  # unchanged weights reuse the cache
+
+    # New weight set (same step): the checksum changes -> re-probe.
+    trainer.train_state = trainer.train_state.replace(
+        trainable=jax.tree_util.tree_map(
+            lambda x: x + 1.0, trainer.train_state.trainable
+        )
+    )
+    h3 = trainer._calibrated_halo(lambda b: {"out": b}, img, None)
+    assert h3 == 64
+    assert len(calls) == 2
