@@ -60,8 +60,31 @@ class Denoiser:
     # Route dense (whole-micrograph) inference through the optimised XLA
     # dense forward (ops/pallas_unet.py) when preconditions hold.
     fused_dense: bool = True
+    # Run the flip-TTA consistency forward FOLDED into the primary forward
+    # as one 2B batch (one program region instead of two sequential ones).
+    # Semantics vs the reference's two sequential forwards
+    # (denoiser_v2.py:295-322): identical math everywhere except the
+    # detector's BatchNorm, which normalises over the 2B fold (primary +
+    # flipped samples) instead of each forward's own B — a different but
+    # equally-valid batch-statistics estimate (the flipped copies have
+    # identical per-channel spatial statistics; only the reparameterisation
+    # draws differ), and ONE running-stats update per step instead of two.
+    #
+    # None (the default) resolves from the configured train batch size:
+    # the fold measures faster at batch 4/64/256 (+5-18%) but reproducibly
+    # ~10% SLOWER at exactly batch 16 — the reference's own default — where
+    # XLA picks a worse conv schedule for the 128-lane rot4 fold
+    # (docs/PERF.md round 5).  SPR_FOLD_TTA=0/1 overrides either way.
+    fold_tta: Optional[bool] = None
 
     def __post_init__(self):
+        import os as _os
+
+        env_fold = _os.environ.get("SPR_FOLD_TTA")
+        if env_fold in ("0", "1"):
+            self.fold_tta = env_fold == "1"
+        elif self.fold_tta is None:
+            self.fold_tta = self.cfg.get(ConfigValue.TRAIN_MINIBATCH_SIZE) != 16
         c = self.cfg
         cfg_mod.infer(c, model_only=True)
         in_ch = c[ConfigValue.IMAGE_CHANNELS]
@@ -321,27 +344,46 @@ class Denoiser:
 
         k_sample, k_flip_p, k_sample2 = jax.random.split(rng, 3)
 
-        (net_out, hm_logits), bn_updates = self._apply_model(
-            variables["model"], inp, k_sample, train, dense
-        )
-        hm_p = losses.clamped_sigmoid(hm_logits)
-
         pred_loss = jnp.float32(0.0)
         consis_loss = jnp.float32(0.0)
-        if train:
-            # Flip-TTA consistency: second forward on a flipped copy
-            # (denoiser_v2.py:304-322).  W-flip with prob 0.5 else H-flip.
+        if train and self.fold_tta:
+            # Flip-TTA consistency (denoiser_v2.py:304-322), FOLDED: the
+            # primary and flipped forwards run as ONE 2B batch — one
+            # program region, one BN update over the fold (see the
+            # fold_tta field docstring for the exact semantics).
             p = jax.random.uniform(k_flip_p)
             w_flip = p <= 0.5
             inp_f = jnp.where(w_flip, jnp.flip(inp, 2), jnp.flip(inp, 1))
-            model_vars2 = dict(variables["model"])
-            if bn_updates is not None:
-                model_vars2["batch_stats"] = bn_updates
-            (_, hm_logits_f), bn_updates2 = self._apply_model(
-                model_vars2, inp_f, k_sample2, train, dense
+            both = jnp.concatenate([inp, inp_f], axis=0)
+            (net_out2, hm_logits2), bn_updates = self._apply_model(
+                variables["model"], both, k_sample, train, dense
             )
-            if bn_updates2 is not None:
-                bn_updates = bn_updates2
+            b = inp.shape[0]
+            net_out = net_out2[:b]
+            hm_logits = hm_logits2[:b]
+            hm_logits_f = hm_logits2[b:]
+        else:
+            (net_out, hm_logits), bn_updates = self._apply_model(
+                variables["model"], inp, k_sample, train, dense
+            )
+        hm_p = losses.clamped_sigmoid(hm_logits)
+
+        if train:
+            if not self.fold_tta:
+                # Reference-shaped path: second forward on a flipped copy,
+                # sequential, BN updating twice (denoiser_v2.py:304-322).
+                # W-flip with prob 0.5 else H-flip.
+                p = jax.random.uniform(k_flip_p)
+                w_flip = p <= 0.5
+                inp_f = jnp.where(w_flip, jnp.flip(inp, 2), jnp.flip(inp, 1))
+                model_vars2 = dict(variables["model"])
+                if bn_updates is not None:
+                    model_vars2["batch_stats"] = bn_updates
+                (_, hm_logits_f), bn_updates2 = self._apply_model(
+                    model_vars2, inp_f, k_sample2, train, dense
+                )
+                if bn_updates2 is not None:
+                    bn_updates = bn_updates2
             hm_logits_f = jnp.where(
                 w_flip, jnp.flip(hm_logits_f, 2), jnp.flip(hm_logits_f, 1)
             )

@@ -79,11 +79,17 @@ def measured_peaks():
 
     Both kernels return only scalars (see _time).  The matmul is a chained
     scan so XLA can neither dead-code-eliminate nor narrow it; the
-    bandwidth kernel returns the scaled array as a SECOND output (stays on
-    device) so the 1 GiB write is materialised but never fetched.
+    bandwidth kernel keeps its GiB-scale buffers on device.
+
+    Chain lengths are sized so ONE call runs ~50 ms of device work: the
+    axon tunnel adds ~1-5 ms of dispatch latency per call, and a short
+    kernel (the old 16-step/2048 chain: ~1.4 ms at spec) measures mostly
+    that latency — rounds 1-4 under-reported the peak 2-6x this way (the
+    "31 TFLOP/s peak" the round-4 MFU numbers were normalised by; real
+    programs in the same sessions sustained 70+).
     """
-    n = 2048
-    steps = 16
+    n = 4096
+    steps = 128  # 2*n^3*steps = 17.6 TFLOP -> ~90 ms at v5e spec
     a = jnp.ones((n, n), jnp.bfloat16)
     b = jnp.full((n, n), 1.0 / n, jnp.bfloat16)  # keeps the chain ~1.0
 
@@ -94,18 +100,21 @@ def measured_peaks():
         c, _ = jax.lax.scan(body, a, None, length=steps)
         return jnp.sum(c.astype(jnp.float32))
 
-    dt = _time(mm, a, b)
+    dt = _time(mm, a, b, reps=3)
     tflops = steps * 2 * n ** 3 / dt / 1e12
 
     big = jnp.ones((256, 1024, 1024), jnp.float32)  # 1 GiB
+    bw_steps = 24  # 24 x (read+write 1 GiB) -> ~60 ms at v5e spec
 
     @jax.jit
     def rw(x):
-        y = x * 1.000001
-        return jnp.sum(y[0, 0, :8]), y  # scalar fence first; y stays on device
+        def body(y, _):
+            return y * 1.000001, None
+        y, _ = jax.lax.scan(body, x, None, length=bw_steps)
+        return jnp.sum(y[0, 0, :8])
 
-    dt = _time(rw, big)
-    gbs = 2 * big.size * 4 / dt / 1e9  # read + write
+    dt = _time(rw, big, reps=3)
+    gbs = bw_steps * 2 * big.size * 4 / dt / 1e9  # read + write per step
     return tflops, gbs
 
 
