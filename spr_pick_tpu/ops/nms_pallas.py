@@ -8,7 +8,12 @@ iteration is a ~1M-element max-reduce + masked write at full vector
 throughput with zero HBM round-trips.
 
 Greedy semantics identical to `spr_pick/utils/algorithms.py:59-103` (and to
-ops/nms.py): ties resolve to the smallest flat index.
+ops/nms.py): ties resolve to the HIGHEST flat index first — the multipeak
+kernel / numpy-oracle order (`np.argsort(flat, kind="stable")[::-1]`).
+Exact tie order matters in production: `losses.clamped_sigmoid` clips
+detector probabilities to [eps, 1-eps], so saturated maps carry large
+equal-score plateaus where tie order decides the greedy pick SET, not just
+its order.
 """
 
 from __future__ import annotations
@@ -57,12 +62,13 @@ def _nms_kernel(radius: int, threshold: float, max_peaks: int,
 
     def body(carry):
         k, m = carry
-        # First row holding the global max (tie-break: smallest y, then x).
-        y = jnp.min(jnp.where(rowmax_ref[:] == m, iota_r, big))
+        # LAST row/col holding the global max: highest flat index among
+        # ties, the reference's argsort(flat)[::-1] pick order.
+        y = jnp.max(jnp.where(rowmax_ref[:] == m, iota_r, jnp.int32(-1)))
         ys = pl.multiple_of((y // 8) * 8, 8)
         block = work_ref[pl.ds(ys, 8), :]  # aligned 8-row block holding y
         in_row = (iota_8 == (y - ys)) & (block == m)
-        x = jnp.min(jnp.where(in_row, iota_c, big))
+        x = jnp.max(jnp.where(in_row, iota_c, jnp.int32(-1)))
 
         scores_ref[pl.ds(k, 1), 0] = m[None]
         coords_ref[pl.ds(k, 1), 0] = x[None]
