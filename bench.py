@@ -30,11 +30,10 @@ not x trip-count — scan programs' FLOPs are therefore taken from the
 equivalent single-step program x K (rounds 1-4 under-reported train
 TFLOP/s 8x through this artifact; see docs/PERF.md round-5).
 
-Dormant-kernel criterion (VERDICT r4 #5): when the measured matmul peak
-reaches >=50% of chip spec, the opt-in kernels (fused_enc1 / fused_head /
-channel fold / waves-NMS) are A/B'd automatically and promote-or-delete
-verdict lines land in this artifact; below that the line records
-"precondition unmet (X% of spec)".
+Dormant-kernel criterion (VERDICT r4 #5): EXECUTED in round 5 — the
+losing opt-in kernels were deleted and the winning pallas NMS promoted
+to the default dispatch; the criterion line records the decision and a
+live A/B keeps the surviving promotion honest per run.
 
 Prints one JSON line per metric; the headline line is LAST so drivers
 that record a single line capture it (plus the embedded train keys).
@@ -524,79 +523,42 @@ def bench_eval_e2e(n_micrographs=4, size=1024, reps=3):
 
 
 def bench_dormant_kernels(den):
-    """Execute docs/PERF.md's promote-or-delete criterion automatically.
+    """Record docs/PERF.md's promote-or-delete criterion state, and keep
+    the one promotion honest with a live A/B.
 
-    Precondition: measured bf16 matmul peak >= 50% of chip spec (an
-    unthrottled chip — on the throttled dev slice the opt-in kernels
-    cannot be judged).  When met, A/B each dormant kernel on the 1024^2
-    batch-2 dense forward (and the waves NMS on the worst-case map)
-    against the shipped defaults and emit a verdict per kernel: >=5%
-    faster -> PROMOTE, else DELETE-CANDIDATE.  Always emits the criterion
-    line so every bench artifact records the decision state.
-    Set SPR_BENCH_DORMANT=1 to force the A/Bs below the precondition
-    (smoke-testing the harness; verdicts then carry "forced": true)."""
-    from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
-
+    The criterion was EXECUTED in round 5, the first session whose
+    measured bf16 matmul peak crossed the 50%-of-spec precondition
+    (measured 86-89%): fused_enc1 failed to lower (scoped-VMEM stack OOM
+    at 1024^2), fused_head measured 0.95x, channel_fold 0.37x and
+    waves_nms 0.07x -> all four DELETED (git history keeps the code);
+    the pallas VMEM-resident NMS measured 2.3-3.4x -> PROMOTED to the
+    default TPU dispatch (ops/nms.py).  This section re-runs the
+    surviving promotion's A/B every bench so the artifact records the
+    dispatch choice staying justified on the measuring chip."""
     pct = (100.0 * PEAKS["tflops"] / PEAKS["spec_tflops"]
            if PEAKS["tflops"] and PEAKS["spec_tflops"] else None)
-    forced = os.environ.get("SPR_BENCH_DORMANT") == "1"
-    met = pct is not None and pct >= 50.0
-    if not met and not forced:
-        print(json.dumps({
-            "metric": "dormant kernel criterion",
-            "verdict": "precondition unmet",
-            "measured_peak_pct_of_spec": round(pct, 1) if pct else None,
-            "threshold_pct": 50.0,
-            "kernels": ["fused_enc1", "fused_head", "channel_fold",
-                        "waves_nms"],
-        }), flush=True)
+    print(json.dumps({
+        "metric": "dormant kernel criterion",
+        "verdict": "executed round 5 (peak 86-89% of spec)",
+        "deleted": {"fused_enc1": "failed to lower (VMEM stack OOM)",
+                    "fused_head": 0.953, "channel_fold": 0.372,
+                    "waves_nms": 0.074},
+        "promoted": {"nms_pallas": "2.3-3.4x, default TPU dispatch"},
+        "measured_peak_pct_of_spec": round(pct, 1) if pct else None,
+    }), flush=True)
+
+    # Live A/B of the surviving promotion: pallas vs multipeak on the
+    # worst-case (untrained-weights) 1024^2 map.
+    from spr_pick_tpu.ops.nms import non_maximum_suppression_multipeak
+    from spr_pick_tpu.ops.nms_pallas import non_maximum_suppression_pallas
+
+    if jax.default_backend() != "tpu":
         return
-
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 1), jnp.float32)
-    # Fresh params: the caller's train-state buffers were DONATED to the
-    # train-section scans (using them here raises Array-deleted).
-    state = init_state(den, seed=0, patch=64)
-    p = state.trainable["model"]["denoise_branch"]
-
-    def timed(fn, reps=3):
-        np.asarray(fn()).ravel()[:1]
-        t0 = time.time()
-        for _ in range(reps):
-            out = fn()
-        np.asarray(out).ravel()[:1]
-        return (time.time() - t0) / reps
-
-    def fwd(**kw):
-        f = jax.jit(lambda p_, x_: jnp.sum(dense_blindspot_unet(
-            p_, x_, out_channels=2, **kw)))
-        return timed(lambda: f(p, x))
-
-    base = fwd()
-    variants = {
-        "fused_enc1": dict(use_enc1_kernel=True),
-        "fused_head": dict(use_head_kernel=True),
-        "channel_fold": dict(fold="channel"),
-    }
-    results = {}
-    for name, kw in variants.items():
-        try:
-            dt = fwd(**kw)
-            results[name] = dt
-        except Exception as exc:  # noqa: BLE001 — a kernel may not lower
-            results[name] = repr(exc)
-
-    # waves NMS vs the default multipeak kernel on the worst-case map
-    from spr_pick_tpu.ops.nms import (
-        non_maximum_suppression_multipeak as nms_mp,
-        non_maximum_suppression_waves as nms_wv,
-    )
-
     hm = jnp.asarray(rng.rand(SIZE, SIZE), jnp.float32)
 
-    def nms_time(kernel):
-        f = jax.jit(lambda h: kernel(h, radius=15, threshold=0.02,
-                                     max_peaks=2048)[2])
+    def nms_time(fn):
+        f = jax.jit(fn)
         np.asarray(f(hm))
         t0 = time.time()
         for _ in range(3):
@@ -604,26 +566,17 @@ def bench_dormant_kernels(den):
         np.asarray(out)
         return (time.time() - t0) / 3
 
-    base_nms = nms_time(nms_mp)
-    results["waves_nms"] = nms_time(nms_wv)
-
-    for name, dt in results.items():
-        is_nms = name == "waves_nms"
-        ref = base_nms if is_nms else base
-        line = {"metric": f"dormant kernel A/B: {name}",
-                "baseline_ms": round(ref * 1e3, 1)}
-        if forced and not met:
-            line["forced"] = True
-        if isinstance(dt, str):
-            line["error"] = dt
-            line["verdict"] = "DELETE-CANDIDATE (failed to run)"
-        else:
-            line["variant_ms"] = round(dt * 1e3, 1)
-            line["speedup"] = round(ref / dt, 3)
-            line["verdict"] = (
-                "PROMOTE" if dt <= 0.95 * ref else "DELETE-CANDIDATE"
-            )
-        print(json.dumps(line), flush=True)
+    t_mp = nms_time(lambda h: non_maximum_suppression_multipeak(
+        h, radius=15, threshold=0.02, max_peaks=8192)[2])
+    t_pl = nms_time(lambda h: non_maximum_suppression_pallas(
+        h, 15, 0.02, 8192)[2])
+    print(json.dumps({
+        "metric": "promoted kernel A/B: nms_pallas vs multipeak (1024^2)",
+        "multipeak_ms": round(t_mp * 1e3, 1),
+        "pallas_ms": round(t_pl * 1e3, 1),
+        "speedup": round(t_mp / t_pl, 2),
+        "default_dispatch_justified": bool(t_pl < t_mp),
+    }), flush=True)
 
 
 _FAILED_SECTIONS = []

@@ -58,7 +58,7 @@ class Denoiser:
     cfg: Dict
     mode: str  # "joint" | "denoise"
     # Route dense (whole-micrograph) inference through the optimised XLA
-    # dense forward (ops/pallas_unet.py) when preconditions hold.
+    # dense forward (ops/dense_unet.py) when preconditions hold.
     fused_dense: bool = True
     # Run the flip-TTA consistency forward FOLDED into the primary forward
     # as one 2B batch (one program region instead of two sequential ones).
@@ -236,13 +236,13 @@ class Denoiser:
         """Dense inference through the optimised XLA U-Net forward.
 
         Numerically equivalent to ``model_dense.apply`` (tested to f32
-        exactness in tests/test_pallas_unet.py); the reparameterisation
+        exactness in tests/test_dense_unet.py); the reparameterisation
         noise uses the raw ``rng`` key rather than flax's path-derived
         stream — a different but identically-distributed sample (the
         reference's torch stream differs from both; SURVEY.md §7.3 RNG
         semantics)."""
         from spr_pick_tpu.models.joint import Detector
-        from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
+        from spr_pick_tpu.ops.dense_unet import dense_blindspot_unet
 
         p = model_vars["params"]
         cdtype = self.compute_dtype or jnp.float32

@@ -15,6 +15,7 @@ shards; only the <=few-hundred picks ever travel to the host.
 from __future__ import annotations
 
 import logging
+import os
 from functools import lru_cache, partial
 from typing import Tuple
 
@@ -23,6 +24,52 @@ import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger("nms")
+
+# ---------------------------------------------------------------------------
+# Kernel dispatch: the Pallas VMEM-resident kernel (ops/nms_pallas.py) is the
+# default on TPU for maps whose padded work buffer fits comfortably in VMEM —
+# measured 2.3-3.4x faster than the multipeak XLA kernel at 1024-1536^2 and
+# flat per-pick cost through 4096^2 (67 MB padded work map; v5e VMEM is
+# 128 MB), with oracle-exact argsort(flat)[::-1] tie order (docs/PERF.md
+# round 5).  SPR_NMS_IMPL=multipeak|pallas|auto overrides the dispatch.
+# ---------------------------------------------------------------------------
+_PALLAS_MAX_BYTES = 96 * 1024 * 1024
+# Set after a runtime/compile failure: never retry pallas in this process.
+_pallas_broken = False
+
+
+def _pallas_eligible(h: int, w: int) -> bool:
+    impl = os.environ.get("SPR_NMS_IMPL", "auto")
+    if impl == "multipeak" or _pallas_broken:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if impl == "pallas":
+        return True
+    padded = (((h + 7) // 8) * 8) * (((w + 127) // 128) * 128) * 4
+    return padded <= _PALLAS_MAX_BYTES
+
+
+def _nms_device_single(heatmap, radius: int, threshold: float, max_peaks: int):
+    """One (H, W) map -> (scores, coords, count) on device, best kernel."""
+    global _pallas_broken
+    h, w = heatmap.shape
+    if _pallas_eligible(h, w):
+        from spr_pick_tpu.ops.nms_pallas import non_maximum_suppression_pallas
+
+        try:
+            return non_maximum_suppression_pallas(
+                heatmap, radius, float(threshold), max_peaks
+            )
+        except Exception:
+            _pallas_broken = True
+            logger.warning(
+                "pallas NMS kernel failed at %dx%d; falling back to the "
+                "multipeak XLA kernel for this process", h, w, exc_info=True,
+            )
+    return non_maximum_suppression_multipeak(
+        heatmap, radius, float(threshold), max_peaks
+    )
 
 # Bounded auto-retry when a pick list hits the static max_peaks buffer:
 # doubling 4 times gives a 16x ceiling, after which the truncation warning
@@ -184,95 +231,6 @@ def non_maximum_suppression_blocked(
     coords0 = jnp.zeros((max_peaks, 2), jnp.int32)
     _, _, scores, coords, count = jax.lax.while_loop(
         cond, body, (work, bmax, scores0, coords0, jnp.int32(0))
-    )
-    return scores, coords, count
-
-
-@partial(jax.jit, static_argnames=("radius", "threshold", "max_peaks"))
-def non_maximum_suppression_waves(
-    heatmap: jnp.ndarray,
-    radius: int,
-    threshold: float = -jnp.inf,
-    max_peaks: int = 2048,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Exact greedy NMS via parallel waves of independent local maxima.
-
-    Greedy-equivalence: a pixel that is the maximum of its (4r+1)-square
-    neighbourhood among unsuppressed pixels can never be suppressed by a
-    higher pick (any suppressor within r would out-score it), and two such
-    maxima cannot conflict (each would have to out-score the other), so ALL
-    of them are greedy picks and can be taken in one wave.  Suppress their
-    disks, repeat until nothing above threshold survives, then order by
-    score (greedy emits picks in descending score order).  Rounds ~ tens
-    instead of ~thousands of serial argmax iterations.
-    """
-    h, w = heatmap.shape
-    neg = jnp.float32(-jnp.inf)
-    work = heatmap.astype(jnp.float32)
-
-    # Disk kernel for suppression dilation (conv of the pick mask).
-    win = 2 * radius + 1
-    yy = jax.lax.broadcasted_iota(jnp.int32, (win, win), 0) - radius
-    xx = jax.lax.broadcasted_iota(jnp.int32, (win, win), 1) - radius
-    disk = ((yy * yy + xx * xx) <= radius * radius).astype(jnp.float32)
-    disk_kernel = disk[:, :, None, None]  # HWIO
-
-    local_win = 4 * radius + 1
-
-    def cond(carry):
-        work, picked, again = carry
-        return again
-
-    def body(carry):
-        work, picked, _ = carry
-        local_max = jax.lax.reduce_window(
-            work, neg, jax.lax.max,
-            (local_win, local_win), (1, 1), "SAME",
-        )
-        is_cand = (work == local_max) & (work > threshold)
-        # Exact-score ties: two tied local maxima within `radius` would
-        # both be emitted (greedy picks one and suppresses the other).
-        # All candidates within radius of a candidate provably share its
-        # value, so greedy's argsort-reversed order reduces to "highest
-        # flat index wins"; the loser stays unpicked and either gets
-        # suppressed or picked in a later wave — exactly like greedy.
-        flat_idx = (
-            jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
-            + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        )
-        cand_idx = jnp.where(is_cand, flat_idx, -1)
-        best_near = jax.lax.reduce_window(
-            cand_idx, jnp.int32(-1), jax.lax.max,
-            (win, win), (1, 1), "SAME",
-        )
-        is_pick = is_cand & (best_near == flat_idx)
-        picked = picked | is_pick
-        # Dilate picks by the disk -> suppression mask.
-        sup = jax.lax.conv_general_dilated(
-            is_pick.astype(jnp.float32)[None, :, :, None],
-            disk_kernel, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )[0, :, :, 0]
-        work = jnp.where(sup > 0, neg, work)
-        again = jnp.max(work) > threshold
-        return work, picked, again
-
-    picked0 = jnp.zeros((h, w), bool)
-    _, picked, _ = jax.lax.while_loop(
-        cond, body, (work, picked0, jnp.max(work) > threshold)
-    )
-
-    flat_scores = jnp.where(picked, heatmap.astype(jnp.float32), neg).reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(flat_scores, max_peaks)
-    valid = top_scores > threshold
-    count = jnp.sum(valid.astype(jnp.int32))
-    scores = jnp.where(valid, top_scores, 0.0)
-    coords = jnp.stack(
-        [
-            jnp.where(valid, top_idx % w, 0).astype(jnp.int32),
-            jnp.where(valid, top_idx // w, 0).astype(jnp.int32),
-        ],
-        axis=1,
     )
     return scores, coords, count
 
@@ -506,6 +464,21 @@ def nms_batch_device(
         heatmaps = jnp.where(
             jnp.asarray(suppressed, bool), -jnp.inf, heatmaps
         )
+    b, h, w = heatmaps.shape
+    if _pallas_eligible(h, w):
+        # Per-map pallas calls enqueue back-to-back (still asynchronous);
+        # at ~30 ms/map the sub-ms dispatch gap is noise, and each map's
+        # work buffer stays VMEM-resident for the whole greedy loop.
+        outs = [
+            _nms_device_single(heatmaps[i], radius, threshold, max_peaks)
+            for i in range(b)
+        ]
+        if not _pallas_broken:
+            return (
+                jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]),
+                jnp.stack([o[2] for o in outs]),
+            )
     return _batched_nms_fn(radius, float(threshold), max_peaks)(heatmaps)
 
 
@@ -547,7 +520,7 @@ def nms_batch_trim(scores, coords, counts, heatmaps=None, radius=None,
             prev, todo.size, len(counts), cap,
         )
         sub = jnp.take(hm, jnp.asarray(todo), axis=0)
-        s2, c2, n2 = _batched_nms_fn(radius, float(threshold), cap)(sub)
+        s2, c2, n2 = nms_batch_device(sub, radius, threshold, cap)
         s2, c2, n2 = np.asarray(s2), np.asarray(c2), np.asarray(n2)
         for k, i in enumerate(todo):
             results[i] = (s2[k, : n2[k]], c2[k, : n2[k]])
@@ -596,12 +569,12 @@ def nms_to_host(
     heatmap, radius: int, threshold: float = 0.02, max_peaks: int = 2048,
     suppressed=None,
 ):
-    """Run device NMS (multipeak kernel) and return trimmed numpy arrays.
+    """Run device NMS and return trimmed numpy arrays.
 
-    All sizes route through the multipeak kernel: it is the only variant
-    with oracle-exact tie order (the basic kernel's argmax takes the
-    LOWEST flat index among ties), so a size-based dispatch would resolve
-    ties differently for small vs large maps.
+    Dispatch: the pallas VMEM-resident kernel on TPU for maps within the
+    VMEM gate, the multipeak XLA kernel otherwise — both reproduce the
+    reference's exact argsort(flat)[::-1] greedy order including ties, so
+    the dispatch never changes the pick set.
 
     ``suppressed``: optional (H, W) boolean mask of initially-suppressed
     pixels (reference `contam` seeding, algorithms.py:59-77): masked
@@ -616,7 +589,7 @@ def nms_to_host(
         heatmap = jnp.where(jnp.asarray(suppressed, bool), -jnp.inf, heatmap)
     cap = max_peaks
     for attempt in range(_MAX_NMS_DOUBLINGS + 1):
-        scores, coords, count = non_maximum_suppression_multipeak(
+        scores, coords, count = _nms_device_single(
             heatmap, radius, threshold, cap
         )
         n = int(count)

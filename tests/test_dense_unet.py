@@ -1,4 +1,4 @@
-"""Optimised dense U-Net (XLA path + optional Pallas kernels) vs flax.
+"""Optimised dense U-Net (lean XLA program) vs the flax module.
 
 Geometry is verified EXACTLY (f32 compute in the kernels vs the f32 flax
 module, 1e-5, under ``jax.default_matmul_precision("highest")`` so the
@@ -31,58 +31,9 @@ def _setup(s=128, batch=1, out_channels=2, seed=0, dtype=None):
     return model, params, x
 
 
-def test_fused_enc1_exact_f32(rng):
-    """The opt-in enc1 Pallas kernel (small sizes; VMEM-capped at 1024^2)."""
-    from spr_pick_tpu.models.blindspot import (
-        max_pool_2x2,
-        rot4_stack,
-        shift_down,
-    )
-    from spr_pick_tpu.ops.pallas_unet import fused_enc1
-
-    model, params, x = _setup(s=128)
-    x4 = rot4_stack(x)
-    p = params
-
-    # Flax-equivalent reference chain in f32.
-    import flax.linen as nn
-
-    def ref_chain(x4):
-        from spr_pick_tpu.models.blindspot import ShiftConv, leaky_relu
-
-        class Enc1(nn.Module):
-            @nn.compact
-            def __call__(self, h):
-                h = leaky_relu(ShiftConv(48, 3, blindspot=True, name="enc1_conv0")(h))
-                h = leaky_relu(ShiftConv(48, 3, blindspot=True, name="enc1_conv1")(h))
-                return max_pool_2x2(shift_down(h, 1))
-
-        sub = {
-            "enc1_conv0": p["enc1_conv0"],
-            "enc1_conv1": p["enc1_conv1"],
-        }
-        return Enc1().apply({"params": sub}, x4)
-
-    with jax.default_matmul_precision("highest"):
-        want = np.asarray(ref_chain(x4))
-        got = np.asarray(
-            fused_enc1(
-                x4,
-                p["enc1_conv0"]["conv"]["kernel"],
-                p["enc1_conv0"]["conv"]["bias"],
-                p["enc1_conv1"]["conv"]["kernel"],
-                p["enc1_conv1"]["conv"]["bias"],
-                t=16,
-                cdtype=jnp.float32,
-            )
-        )
-    assert got.shape == want.shape
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-
 @pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_dense_unet_exact_f32():
-    from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
+    from spr_pick_tpu.ops.dense_unet import dense_blindspot_unet
 
     model, params, x = _setup(s=128)
     with jax.default_matmul_precision("highest"):
@@ -92,22 +43,14 @@ def test_dense_unet_exact_f32():
                 params, x, out_channels=2, cdtype=jnp.float32,
             )
         )
-        got_k = np.asarray(
-            dense_blindspot_unet(
-                params, x, out_channels=2, cdtype=jnp.float32,
-                use_enc1_kernel=True, use_head_kernel=True,
-            )
-        )
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
-    # The opt-in Pallas kernels must agree too.
-    np.testing.assert_allclose(got_k, want, rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_dense_unet_batch2_and_tiles():
     """Multiple tiles per image + batch > 1 exercise every rotation rect."""
-    from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
+    from spr_pick_tpu.ops.dense_unet import dense_blindspot_unet
 
     model, params, x = _setup(s=192, batch=2, seed=1)
     with jax.default_matmul_precision("highest"):
@@ -122,7 +65,7 @@ def test_dense_unet_batch2_and_tiles():
 
 @pytest.mark.slow  # XLA compile dominates (>30 s even cached)
 def test_dense_unet_bf16_close():
-    from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
+    from spr_pick_tpu.ops.dense_unet import dense_blindspot_unet
 
     model, params, x = _setup(s=128, dtype=jnp.bfloat16)
     want = np.asarray(model.apply({"params": params}, x))
@@ -140,7 +83,7 @@ def test_rect_fold_exact_vs_rot4_on_square():
     """The two-lane rectangular fold must agree with the rot4 fold exactly
     (same convs, different batching) — proven on a square input where both
     paths are defined."""
-    from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
+    from spr_pick_tpu.ops.dense_unet import dense_blindspot_unet
 
     _, params, x = _setup(s=96, seed=2)
     with jax.default_matmul_precision("highest"):
@@ -175,7 +118,7 @@ def test_rect_dense_rotation_equivariance_exact():
     import copy
 
     from spr_pick_tpu.models.blindspot import rotate
-    from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
+    from spr_pick_tpu.ops.dense_unet import dense_blindspot_unet
 
     _, params, _ = _setup(s=64, seed=3)
     rng = np.random.RandomState(3)
@@ -198,27 +141,3 @@ def test_rect_dense_rotation_equivariance_exact():
     assert out.shape == (1, h, w, 2) and out90.shape == (1, w, h, 2)
     want = np.asarray(rotate(jnp.asarray(out), 90))
     np.testing.assert_allclose(out90, want, rtol=1e-5, atol=1e-5)
-
-
-def test_channel_packed_fold_exact_vs_batch_fold():
-    """The channel-packed rotation fold (grouped convs, lane-major packing)
-    must reproduce the batch fold exactly — square (4 lanes) and
-    rectangular (2x2 lanes)."""
-    from spr_pick_tpu.ops.pallas_unet import dense_blindspot_unet
-
-    _, params, x = _setup(s=96, seed=4)
-    rng = np.random.RandomState(4)
-    xr = jnp.asarray(rng.randn(1, 96, 160, 1).astype(np.float32))
-    with jax.default_matmul_precision("highest"):
-        for inp in (x, xr):
-            batchf = np.asarray(
-                dense_blindspot_unet(
-                    params, inp, out_channels=2, cdtype=jnp.float32, fold="batch"
-                )
-            )
-            chanf = np.asarray(
-                dense_blindspot_unet(
-                    params, inp, out_channels=2, cdtype=jnp.float32, fold="channel"
-                )
-            )
-            np.testing.assert_allclose(chanf, batchf, rtol=1e-5, atol=1e-5)

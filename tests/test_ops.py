@@ -10,7 +10,6 @@ from spr_pick_tpu.ops.nms import (
     non_maximum_suppression_blocked,
     non_maximum_suppression_multipeak,
     non_maximum_suppression_np,
-    non_maximum_suppression_waves,
 )
 
 
@@ -70,22 +69,6 @@ def test_blocked_nms_matches_oracle(rng):
         assert x[c_b[i][1], c_b[i][0]] == s_ref[i]
 
 
-def test_wave_nms_matches_oracle(rng):
-    import jax.numpy as jnp
-    import numpy as np_
-
-    x = rng.rand(160, 160).astype(np.float32)
-    s_ref, c_ref = non_maximum_suppression_np(x, 7, threshold=0.4)
-    s, c, n = non_maximum_suppression_waves(jnp.asarray(x), 7, 0.4, 1024)
-    n = int(n)
-    assert n == len(s_ref)
-    np_.testing.assert_allclose(s_ref, np_.asarray(s[:n]), rtol=1e-6)
-    # coords equal except exact-score ties
-    mism = (c_ref != np_.asarray(c[:n])).any(axis=1)
-    for i in np_.nonzero(mism)[0]:
-        assert x[c[i][1], c[i][0]] == s_ref[i]
-
-
 @pytest.mark.parametrize(
     "shape,radius,threshold,cap",
     [
@@ -139,20 +122,16 @@ def test_nms_batch_matches_single(rng):
         assert set(map(tuple, c)) == set(map(tuple, c_ref))
 
 
-def test_waves_nms_tie_within_radius(rng):
+def test_nms_tie_within_radius(rng):
     """Two exact-score tied local maxima within the suppression radius:
-    greedy emits ONE (higher flat index first); the wave kernel used to
-    emit both."""
-    import jax.numpy as jnp
-
+    greedy emits ONE (higher flat index first)."""
     x = np.zeros((64, 64), np.float32)
     x[30, 30] = 0.9
     x[30, 33] = 0.9
     s_ref, c_ref = non_maximum_suppression_np(x, 7, threshold=0.5)
-    s, c, n = non_maximum_suppression_waves(jnp.asarray(x), 7, 0.5, 16)
-    n = int(n)
-    assert len(s_ref) == 1 and n == 1
-    np.testing.assert_array_equal(np.asarray(c[:n]), c_ref)
+    s, c = nms_to_host(x, 7, threshold=0.5, max_peaks=16)
+    assert len(s_ref) == 1 and len(s) == 1
+    np.testing.assert_array_equal(np.asarray(c), c_ref)
 
 
 def test_blocked_nms_rejects_oversized_radius():
