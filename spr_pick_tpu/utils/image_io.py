@@ -15,6 +15,18 @@ from typing import Optional
 import numpy as np
 
 
+def _png_compress_level() -> int:
+    """zlib level for artifact PNGs.  Default 1: micrograph maps are
+    noise-like and barely compress at any level, while level 6 (PIL's
+    default) costs ~4x the encode CPU — at 5-6 maps per micrograph the
+    encode was the largest single e2e eval phase (docs/PERF.md round 5).
+    Lossless at every level; SPR_PNG_COMPRESS_LEVEL overrides (0-9)."""
+    try:
+        return int(os.environ.get("SPR_PNG_COMPRESS_LEVEL", "1"))
+    except ValueError:
+        return 1
+
+
 def array2image(img: np.ndarray):
     """Min-max normalise to [0,1] and convert to a PIL 'L' image.
 
@@ -37,7 +49,7 @@ def array2image(img: np.ndarray):
 
 def save_array_image(img: np.ndarray, path: str):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    array2image(img).save(path)
+    array2image(img).save(path, compress_level=_png_compress_level())
 
 
 def quantize_u8_device(arr, shape) -> np.ndarray:
@@ -67,7 +79,9 @@ def save_u8_image(u8: np.ndarray, path: str):
     from PIL import Image
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    Image.fromarray(u8, mode="L").save(path)
+    Image.fromarray(u8, mode="L").save(
+        path, compress_level=_png_compress_level()
+    )
 
 
 def save_array_image_filtered(img: np.ndarray, path: str, kernel_size: int = 9):
