@@ -66,7 +66,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 from spr_pick_tpu import cfg as cfg_mod
 from spr_pick_tpu.denoiser import Denoiser
-from spr_pick_tpu.ops.nms import non_maximum_suppression_multipeak
 from spr_pick_tpu.params import ConfigValue, NoiseAlgorithm, NoiseValue, PipelineOutput
 from spr_pick_tpu.steps import init_state, make_train_scan, make_train_step
 
@@ -720,12 +719,9 @@ def main():
     # the just-trained state would quietly lighten the NMS workload.
     state = init_state(den, seed=0, patch=64)
 
-    nms = partial(
-        non_maximum_suppression_multipeak,
-        radius=nms_radius,
-        threshold=0.02,
-        max_peaks=max_peaks,
-    )
+    # Production NMS dispatch (pallas on TPU inside the VMEM gate,
+    # multipeak elsewhere) — the same kernel choice the evaluator makes.
+    from spr_pick_tpu.ops.nms import _nms_device_single
 
     @jax.jit
     def infer(state, inp, rng):
@@ -734,7 +730,13 @@ def main():
             train=False, dense=True,
         )
         hm = outputs[PipelineOutput.DETECT][..., 0]  # (B, H, W)
-        scores, coords, count = jax.vmap(nms)(hm)
+        per_map = [
+            _nms_device_single(hm[i], nms_radius, 0.02, max_peaks)
+            for i in range(hm.shape[0])
+        ]
+        scores = jnp.stack([o[0] for o in per_map])
+        coords = jnp.stack([o[1] for o in per_map])
+        count = jnp.stack([o[2] for o in per_map])
         # Denoised image checksum keeps the PME computation live without
         # shipping megabytes to the host.
         checksum = jnp.sum(outputs[PipelineOutput.IMG_DENOISED])
