@@ -16,6 +16,9 @@ Workloads (BASELINE.md "Configs to benchmark"):
    synthetic 1024^2 micrographs INCLUDING artifact export
    (PNG dumps + batched NMS + _scores.txt) — the number users get.
    Median of 3 repeats, with a per-phase decomposition.
+5a'. picks-only production path (Picker.pick_many / `joint pick`): MRC
+   decode + dense forward + device NMS + pick table, no PNG export —
+   the e2e number a picks-to-RELION pipeline experiences.
 5b. device-only dense joint inference (denoise+detect+NMS, batch 2,
    worst-case NMS, only picks to host) — the HEADLINE, last line, with
    the train number embedded.
@@ -516,6 +519,48 @@ def bench_eval_e2e(n_micrographs=4, size=1024, reps=3):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_pick_e2e(n_micrographs=4, size=1024, reps=3):
+    """Production picking path (`joint pick` CLI / `Picker.pick_many`):
+    MRC decode from disk + dense forward + device NMS + pick DataFrame —
+    no PNG artifact export.
+
+    Complements the evaluator-e2e line: the evaluator's artifact export
+    is bound on a tunnelled dev chip by link bandwidth (u8 map pulls) and
+    the single host core (PNG encode) — costs its phase split makes
+    attributable but that a production pipeline (picks straight to
+    RELION star) never pays.  This line records the e2e micrographs/sec
+    of that picks-only path; batch_size=2 matches the headline's batch.
+    """
+    from spr_pick_tpu.api import Picker
+    from spr_pick_tpu.data import mrc as mrc_mod
+    from spr_pick_tpu.utils import checkpoint as ckpt_mod
+
+    tmp = tempfile.mkdtemp(prefix="bench_pick_")
+    try:
+        rng = np.random.RandomState(0)
+        paths = []
+        for i in range(n_micrographs):
+            img = rng.randn(size, size).astype(np.float32) * 0.5
+            path = os.path.join(tmp, f"mic{i}.mrc")
+            mrc_mod.write(path, img)
+            paths.append(path)
+        c, den = make_denoiser()
+        state = init_state(den, seed=0, patch=TRAIN_CROP)
+        wt = os.path.join(tmp, "model.wt")
+        ckpt_mod.save_weights(wt, state.trainable, state.static, c, "joint")
+        # 8192 for one-pass worst-case NMS, as in the e2e/headline sections.
+        picker = Picker(wt, max_peaks=8192)
+        n_picks = len(picker.pick_many(paths, batch_size=2))  # warm/compile
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            picker.pick_many(paths, batch_size=2)
+            times.append((time.time() - t0) / n_micrographs)
+        return 1.0 / float(np.median(times)), times, n_picks
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Dormant-kernel promote-or-delete (VERDICT r4 #5)
 # ---------------------------------------------------------------------------
@@ -709,6 +754,18 @@ def main():
              e2e, "micrographs/sec", "eval_e2e",
              times=[1.0 / t for t in e2e_times],
              extra={"phases_ms_per_micrograph": e2e_phases})
+
+    # Config 5a': production picks-only path (pick CLI / Picker API)
+    pick_res = _section("pick e2e", bench_pick_e2e)
+    if pick_res is not None:
+        pick_v, pick_times, n_picks = pick_res
+        emit("end-to-end picks-only (Picker.pick_many: MRC decode+dense+NMS), single chip",
+             pick_v, "micrographs/sec", "eval_e2e",
+             times=[1.0 / t for t in pick_times],
+             extra={"picks_total": int(n_picks),
+                    "denominator_note": "reference eval_e2e denominator "
+                    "(dense fwd + host NMS, writes omitted) — the closest "
+                    "reference analogue to a picks-only pass"})
 
     # Dormant-kernel criterion (VERDICT r4 #5) — executes automatically
     _section("dormant kernels", lambda: bench_dormant_kernels(den))
