@@ -556,7 +556,27 @@ def bench_pick_e2e(n_micrographs=4, size=1024, reps=3):
             t0 = time.time()
             picker.pick_many(paths, batch_size=2)
             times.append((time.time() - t0) / n_micrographs)
-        return 1.0 / float(np.median(times)), times, n_picks
+
+        # Attribute the gap vs the device-only headline: on a tunnelled dev
+        # chip the dominant extra cost is pushing each f32 micrograph to
+        # the device (4 MB/ug over the ~25 MB/s link); on a real TPU host
+        # this is PCIe and negligible.  Measure decode and push separately.
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from spr_pick_tpu.data.loader import load_image
+
+        t0 = time.time()
+        arrs = [load_image(p) for p in paths]
+        decode_ms = (time.time() - t0) / n_micrographs * 1e3
+        stacked = np.stack(arrs)[..., None]
+        _jax.block_until_ready(_jnp.asarray(stacked))  # warm path
+        t0 = time.time()
+        _jax.block_until_ready(_jnp.asarray(stacked + 0.0))  # fresh buffer
+        push_ms = (time.time() - t0) / n_micrographs * 1e3
+        phases = {"mrc_decode_ms": round(decode_ms, 1),
+                  "input_push_ms": round(push_ms, 1)}
+        return 1.0 / float(np.median(times)), times, n_picks, phases
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -758,11 +778,12 @@ def main():
     # Config 5a': production picks-only path (pick CLI / Picker API)
     pick_res = _section("pick e2e", bench_pick_e2e)
     if pick_res is not None:
-        pick_v, pick_times, n_picks = pick_res
+        pick_v, pick_times, n_picks, pick_phases = pick_res
         emit("end-to-end picks-only (Picker.pick_many: MRC decode+dense+NMS), single chip",
              pick_v, "micrographs/sec", "eval_e2e",
              times=[1.0 / t for t in pick_times],
              extra={"picks_total": int(n_picks),
+                    "phases_ms_per_micrograph": pick_phases,
                     "denominator_note": "reference eval_e2e denominator "
                     "(dense fwd + host NMS, writes omitted) — the closest "
                     "reference analogue to a picks-only pass"})
